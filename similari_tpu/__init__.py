@@ -1,0 +1,16 @@
+"""similari_tpu — TPU-native multi-object tracking & similarity-search engine.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of
+insight-platform/Similari (mounted read-only at /root/reference): SORT /
+BatchSORT / VisualSORT trackers, batched Kalman filters, rotated-box geometry,
+NMS, polygon clipping, and a generic track/store engine — with the hot path as
+pure jitted SoA-tensor functions instead of per-track Rust objects.
+"""
+
+from .version import __version__, version  # noqa: F401
+from .utils.bbox import (  # noqa: F401
+    BoundingBox,
+    GenericBBoxConversionError,
+    Polygon,
+    Universal2DBox,
+)

@@ -1,0 +1,199 @@
+"""Linear assignment (maximization) for tracker voting — device + host backends.
+
+The reference solves voting with `pathfinding::kuhn_munkres` on an i64 cost
+matrix (`/root/reference/src/trackers/sort/voting.rs:44-86`): rows = candidates,
+columns = candidates + tracks, diagonal [i, i] = the new-track threshold.  We
+keep the same augmented-matrix formulation but solve it two ways:
+
+* ``auction_lap`` — a fully on-device Jacobi (all-bidders-parallel) auction
+  algorithm with epsilon scaling (Bertsekas).  Everything is static-shape
+  ``lax.while_loop``; vmappable across scenes for the batch trackers and usable
+  inside ``shard_map`` for multi-chip runs.  With eps_final well below the
+  smallest weight gap the result is the exact optimum; near-ties may differ
+  from Hungarian, which is within the reference's own nondeterminism (it
+  truncates f32 weights to 1e-6 resolution).
+
+* ``hungarian_host`` — exact scipy `linear_sum_assignment` behind
+  ``jax.pure_callback`` for single-scene paths and as the golden reference in
+  tests.
+
+Both return, for each row d, a column index; col < D means "self" (new track),
+col >= D means match to track col - D.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -1e30
+
+
+def _auction_round(carry, weights, eps):
+    """One Jacobi auction round: every unassigned row bids for its best column."""
+    prices, row_to_col, col_to_row = carry
+    d, n = weights.shape
+    unassigned = row_to_col < 0  # [D]
+
+    values = weights - prices[None, :]  # [D, N]
+    j_best = jnp.argmax(values, axis=1)  # [D]
+    v_best = jnp.max(values, axis=1)
+    masked = values.at[jnp.arange(d), j_best].set(NEG)
+    v_second = jnp.max(masked, axis=1)
+    bid_amount = prices[j_best] + (v_best - v_second) + eps  # [D]
+
+    # Column side: highest bid per column wins (ties -> lowest row id).
+    bids = jnp.where(
+        unassigned[:, None] & (j_best[:, None] == jnp.arange(n)[None, :]),
+        bid_amount[:, None],
+        NEG,
+    )  # [D, N]
+    best_bid = jnp.max(bids, axis=0)  # [N]
+    winner_row = jnp.argmax(bids, axis=0)  # [N]
+    got_bid = best_bid > NEG * 0.5
+
+    # Previous owners of re-auctioned columns lose their assignment.
+    prev_owner = col_to_row  # [N]
+    evict = got_bid & (prev_owner >= 0)
+    row_to_col = row_to_col.at[jnp.where(evict, prev_owner, d)].set(-1, mode="drop")
+
+    col_to_row = jnp.where(got_bid, winner_row, col_to_row)
+    prices = jnp.where(got_bid, best_bid, prices)
+    row_to_col = row_to_col.at[jnp.where(got_bid, winner_row, d)].set(
+        jnp.where(got_bid, jnp.arange(n), -1), mode="drop"
+    )
+    return prices, row_to_col, col_to_row
+
+
+def _auction_phase(prices, weights, eps, max_iters):
+    d, n = weights.shape
+    row_to_col = jnp.full((d,), -1, jnp.int32)
+    col_to_row = jnp.full((n,), -1, jnp.int32)
+
+    def cond(c):
+        i, (_, r2c, _) = c
+        return (i < max_iters) & jnp.any(r2c < 0)
+
+    def body(c):
+        i, carry = c
+        return i + 1, _auction_round(carry, weights, eps)
+
+    _, (prices, row_to_col, col_to_row) = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), (prices, row_to_col, col_to_row))
+    )
+    return prices, row_to_col, col_to_row
+
+
+def _fixup_unassigned(row_to_col, col_to_row):
+    """Safety net: assign any still-unassigned row to a free column.
+
+    Only reachable if the iteration cap was hit; keeps the result a matching.
+    """
+    d = row_to_col.shape[0]
+    n = col_to_row.shape[0]
+    col_free = col_to_row < 0
+    # k-th free column index for each k
+    order = jnp.cumsum(col_free.astype(jnp.int32)) - 1  # rank of each free col
+    free_cols = jnp.full((n,), n - 1, jnp.int32).at[
+        jnp.where(col_free, order, n)
+    ].set(jnp.arange(n), mode="drop")
+    row_un = row_to_col < 0
+    rank = jnp.cumsum(row_un.astype(jnp.int32)) - 1
+    fill = free_cols[jnp.clip(rank, 0, n - 1)]
+    return jnp.where(row_un, fill, row_to_col)
+
+
+@partial(jax.jit, static_argnames=("num_phases", "max_iters"))
+def auction_lap(
+    weights: jax.Array,
+    num_phases: int = 9,
+    max_iters: int = 5000,
+) -> jax.Array:
+    """Maximization LAP on weights[D, N] (N >= D). Returns col per row [D].
+
+    The rectangular problem is squared with zero-weight dummy rows (any
+    perfect completion adds the same dummy contribution, so the real rows'
+    optimum is preserved).  With a square matrix every column is assigned at
+    the end of each phase, so Bertsekas eps-scaling with price carryover is
+    sound: the final assignment satisfies eps-CS with a perfect matching and
+    is within n*eps_final of the optimum.
+    """
+    d, n = weights.shape
+    assert n >= d, "need at least as many columns as rows"
+    w = jnp.concatenate(
+        [weights, jnp.zeros((n - d, n), weights.dtype)], axis=0
+    ) if n > d else weights
+    wmax = jnp.max(weights)
+    wmin = jnp.minimum(jnp.min(weights), 0.0)
+    span = jnp.maximum(wmax - wmin, 1e-6)
+    prices = jnp.zeros((n,), weights.dtype)
+
+    eps = span / 8.0
+    factor = 6.0
+    row_to_col = jnp.full((n,), -1, jnp.int32)
+    col_to_row = jnp.full((n,), -1, jnp.int32)
+    for _ in range(num_phases):
+        prices, row_to_col, col_to_row = _auction_phase(
+            prices, w, eps, max_iters
+        )
+        eps = eps / factor
+    return _fixup_unassigned(row_to_col, col_to_row)[:d]
+
+
+def _hungarian_np(weights: np.ndarray) -> np.ndarray:
+    from scipy.optimize import linear_sum_assignment
+
+    d, n = weights.shape
+    rows, cols = linear_sum_assignment(weights, maximize=True)
+    out = np.full((d,), -1, np.int32)
+    out[rows] = cols.astype(np.int32)
+    # scipy assigns every row when n >= d; guard anyway
+    if (out < 0).any():
+        free = sorted(set(range(n)) - set(out[out >= 0].tolist()))
+        out[out < 0] = np.asarray(free[: (out < 0).sum()], np.int32)
+    return out
+
+
+def hungarian_host(weights: jax.Array) -> jax.Array:
+    """Exact Hungarian via host callback; jit-compatible on a single device."""
+    d = weights.shape[0]
+    return jax.pure_callback(
+        _hungarian_np,
+        jax.ShapeDtypeStruct((d,), jnp.int32),
+        weights,
+        vmap_method="sequential",
+    )
+
+
+def solve_lap(weights: jax.Array, backend: str = "auction") -> jax.Array:
+    if backend == "auction":
+        return auction_lap(weights)
+    if backend == "hungarian":
+        return hungarian_host(weights)
+    raise ValueError(f"unknown assignment backend: {backend}")
+
+
+def augment_with_threshold(
+    metric: jax.Array,
+    threshold: jax.Array | float,
+    row_valid: jax.Array,
+    col_valid: jax.Array,
+) -> jax.Array:
+    """Build the SORT voting matrix [D, D+T] (`sort/voting.rs:44-84`).
+
+    metric[D, T]: pair weights, 0 where the pair is invalid/filtered.
+    Diagonal [i, i] = threshold models "create a new track".  Padding rows get
+    a large diagonal so they never steal a real column; padding columns are 0.
+    """
+    d, t = metric.shape
+    body = jnp.where(row_valid[:, None] & col_valid[None, :], metric, 0.0)
+    # Padding rows keep the same positive diagonal: their row is all-zero
+    # elsewhere and the diagonal column is private, so the optimum parks them
+    # there without distorting the epsilon scale of the auction solver.
+    diag = jnp.zeros((d, d), metric.dtype).at[
+        jnp.arange(d), jnp.arange(d)
+    ].set(jnp.full((d,), threshold, metric.dtype))
+    return jnp.concatenate([diag, body], axis=1)

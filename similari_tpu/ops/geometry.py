@@ -1,0 +1,225 @@
+"""Batched box geometry: vertices, polygon clipping, IoU, radius gating.
+
+TPU-native re-design of the reference geometry layer
+(`/root/reference/src/utils/bbox.rs`, `src/utils/clipping.rs`): instead of
+per-pair scalar code with cached vertex polygons, every op here works on
+``[..., 5]`` box tensors (xc, yc, angle, aspect, height) and is shaped for the
+VPU — fixed-size 8-vertex buffers, masked lanes, no data-dependent shapes.
+
+The Sutherland–Hodgman clip follows `clipping.rs:12-91` exactly (same inside
+test ``r <= 0``, same line-intersection formula).  Intersections of two convex
+quads have at most 8 vertices, so an 8-lane vertex buffer with a live count is
+exact.  The reference computes polygon ops in f64; TPUs are f32-only, so we
+recenter each pair around its midpoint before clipping, which removes the
+large-coordinate cancellation that f64 was papering over.
+
+Like the reference (bug #84, `bbox.rs:477-485`), the general clip path is used
+for *all* Universal2DBox intersections, including axis-aligned ones.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-5  # `src/lib.rs:80`
+_MAX_VERTS = 8
+
+
+def box_radius(boxes: jax.Array) -> jax.Array:
+    """Enclosing-circle radius, `bbox.rs:157-161`. boxes[..., 5]."""
+    hw = boxes[..., 3] * boxes[..., 4] * 0.5
+    hh = boxes[..., 4] * 0.5
+    return jnp.sqrt(hw * hw + hh * hh)
+
+
+def box_area(boxes: jax.Array) -> jax.Array:
+    """w*h = aspect*height^2, `bbox.rs:163-166`."""
+    return boxes[..., 3] * boxes[..., 4] * boxes[..., 4]
+
+
+def box_vertices(boxes: jax.Array) -> jax.Array:
+    """Rotated-rect corners [..., 4, 2] in the reference's order, `bbox.rs:287-330`."""
+    angle = boxes[..., 2]
+    c = jnp.cos(angle)
+    s = jnp.sin(angle)
+    hw = boxes[..., 3] * boxes[..., 4] * 0.5
+    hh = boxes[..., 4] * 0.5
+    r1x = -hw * c - hh * s
+    r1y = -hw * s + hh * c
+    r2x = hw * c - hh * s
+    r2y = hw * s + hh * c
+    x = boxes[..., 0]
+    y = boxes[..., 1]
+    return jnp.stack(
+        [
+            jnp.stack([x + r1x, y + r1y], axis=-1),
+            jnp.stack([x + r2x, y + r2y], axis=-1),
+            jnp.stack([x - r1x, y - r1y], axis=-1),
+            jnp.stack([x - r2x, y - r2y], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def normalize_angle(a: jax.Array) -> jax.Array:
+    """Wrap to [0, 2pi), `bbox.rs:426-435`."""
+    pix2 = 2.0 * jnp.pi
+    a = a - jnp.floor(a / pix2) * pix2
+    return jnp.where(a < 0.0, a + pix2, a)
+
+
+def center_distance2(a: jax.Array, b: jax.Array) -> jax.Array:
+    dx = a[..., 0] - b[..., 0]
+    dy = a[..., 1] - b[..., 1]
+    return dx * dx + dy * dy
+
+
+def too_far(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Circle-radius prune, `bbox.rs:452-462`. Broadcasts over batch dims."""
+    md = box_radius(a) + box_radius(b)
+    return center_distance2(a, b) > md * md
+
+
+def dist_in_2r(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Normalized center distance, `bbox.rs:464-474`."""
+    rd = box_radius(a) + box_radius(b)
+    return jnp.sqrt(center_distance2(a, b)) / jnp.sqrt(rd * rd + EPS)
+
+
+# ---------------------------------------------------------------------------
+# Sutherland–Hodgman clipping on fixed 8-lane vertex buffers
+# ---------------------------------------------------------------------------
+
+def _edge_side(qx, qy, p1, p2):
+    """r = cross(p2-p1, q-p1); inside means r <= 0 (`clipping.rs:12-15`)."""
+    return (p2[..., 0] - p1[..., 0]) * (qy - p1[..., 1]) - (
+        p2[..., 1] - p1[..., 1]
+    ) * (qx - p1[..., 0])
+
+
+def _line_intersection(sx, sy, ex, ey, c1, c2):
+    """Line(s,e) x Line(c1,c2), `clipping.rs:17-38`."""
+    dcx = sx - ex
+    dcy = sy - ey
+    dpx = c1[..., 0] - c2[..., 0]
+    dpy = c1[..., 1] - c2[..., 1]
+    n1 = sx * ey - sy * ex
+    n2 = c1[..., 0] * c2[..., 1] - c1[..., 1] * c2[..., 0]
+    n3 = 1.0 / (dcx * dpy - dcy * dpx)
+    return (n1 * dpx - n2 * dcx) * n3, (n1 * dpy - n2 * dcy) * n3
+
+
+def _clip_halfplane(vx, vy, n, c1, c2):
+    """Clip a masked polygon (vx, vy)[8] of n live verts by edge c1->c2."""
+    idx = jnp.arange(_MAX_VERTS)
+    valid = idx < n
+    nn = jnp.maximum(n, 1)
+    prev = (idx - 1) % nn
+    sx = vx[prev]
+    sy = vy[prev]
+    in_e = _edge_side(vx, vy, c1, c2) <= 0.0
+    in_s = _edge_side(sx, sy, c1, c2) <= 0.0
+    ix, iy = _line_intersection(sx, sy, vx, vy, c1, c2)
+    emit_i = valid & (in_e ^ in_s)
+    emit_e = valid & in_e
+    cnt = emit_i.astype(jnp.int32) + emit_e.astype(jnp.int32)
+    off = jnp.cumsum(cnt) - cnt
+    pos_i = jnp.where(emit_i, off, _MAX_VERTS)
+    pos_e = jnp.where(emit_e, off + emit_i.astype(jnp.int32), _MAX_VERTS)
+    ox = jnp.zeros(_MAX_VERTS, vx.dtype)
+    oy = jnp.zeros(_MAX_VERTS, vy.dtype)
+    ox = ox.at[pos_i].set(ix, mode="drop").at[pos_e].set(vx, mode="drop")
+    oy = oy.at[pos_i].set(iy, mode="drop").at[pos_e].set(vy, mode="drop")
+    return ox, oy, jnp.sum(cnt)
+
+
+def _sh_clip_quads(subject: jax.Array, clip: jax.Array):
+    """Clip quad by quad; returns (vx[8], vy[8], n). Unbatched core."""
+    vx = jnp.concatenate([subject[:, 0], jnp.zeros(4, subject.dtype)])
+    vy = jnp.concatenate([subject[:, 1], jnp.zeros(4, subject.dtype)])
+    n = jnp.int32(4)
+    for i in range(4):
+        c1 = clip[(i - 1) % 4]
+        c2 = clip[i]
+        vx, vy, n = _clip_halfplane(vx, vy, n, c1, c2)
+    return vx, vy, n
+
+
+def _masked_area(vx, vy, n):
+    """Unsigned shoelace area over the first n lanes."""
+    idx = jnp.arange(_MAX_VERTS)
+    valid = idx < n
+    nn = jnp.maximum(n, 1)
+    nxt = (idx + 1) % nn
+    cross = vx * vy[nxt] - vx[nxt] * vy
+    s = jnp.sum(jnp.where(valid, cross, 0.0))
+    return jnp.where(n >= 3, jnp.abs(s) * 0.5, 0.0)
+
+
+def _clip_area_one(subject: jax.Array, clip: jax.Array) -> jax.Array:
+    vx, vy, n = _sh_clip_quads(subject, clip)
+    return _masked_area(vx, vy, n)
+
+
+def clip_polygon_quads(subject: jax.Array, clip: jax.Array):
+    """Public: clip two quads [4,2] -> (verts[8,2], count). Host API helper."""
+    vx, vy, n = _sh_clip_quads(subject, clip)
+    return jnp.stack([vx, vy], axis=-1), n
+
+
+def rotated_intersection(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Intersection area of two boxes [..., 5], `bbox.rs:476-509`.
+
+    too_far pairs are exactly 0.  The pair is recentred around the midpoint of
+    the two centers before clipping to keep f32 exact at large coordinates.
+    """
+    shape = jnp.broadcast_shapes(a.shape, b.shape)
+    a = jnp.broadcast_to(a, shape)
+    b = jnp.broadcast_to(b, shape)
+    mid = 0.5 * (a[..., :2] + b[..., :2])
+    ac = jnp.concatenate([a[..., :2] - mid, a[..., 2:]], axis=-1)
+    bc = jnp.concatenate([b[..., :2] - mid, b[..., 2:]], axis=-1)
+    va = box_vertices(ac)
+    vb = box_vertices(bc)
+    fn = _clip_area_one
+    for _ in range(a.ndim - 1):
+        fn = jax.vmap(fn)
+    area = fn(va, vb)
+    return jnp.where(too_far(a, b), 0.0, area)
+
+
+def universal_iou(a: jax.Array, b: jax.Array):
+    """IoU of Universal2DBoxes per `bbox.rs:512-535`.
+
+    Returns (iou, valid) — valid is False where the intersection is 0 (the
+    reference yields metric None there).
+    """
+    inter = rotated_intersection(a, b)
+    union = box_area(a) + box_area(b) - inter
+    valid = inter > 0.0
+    iou = jnp.where(valid, inter / jnp.where(valid, union, 1.0), 0.0)
+    return iou, valid
+
+
+def universal_iou_matrix(a: jax.Array, b: jax.Array):
+    """Pairwise IoU: a[D,5] x b[T,5] -> (iou[D,T], valid[D,T])."""
+    return universal_iou(a[:, None, :], b[None, :, :])
+
+
+def aligned_intersection_ltwh(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Axis-aligned intersection for LTWH boxes [..., 4], `bbox.rs:54-75`."""
+    ax0, ay0 = a[..., 0], a[..., 1]
+    ax1, ay1 = ax0 + a[..., 2], ay0 + a[..., 3]
+    bx0, by0 = b[..., 0], b[..., 1]
+    bx1, by1 = bx0 + b[..., 2], by0 + b[..., 3]
+    iw = jnp.minimum(ax1, bx1) - jnp.maximum(ax0, bx0)
+    ih = jnp.minimum(ay1, by1) - jnp.maximum(ay0, by0)
+    return jnp.where((iw > 0.0) & (ih > 0.0), iw * ih, 0.0)
+
+
+def aligned_iou_ltwh(a: jax.Array, b: jax.Array) -> jax.Array:
+    """IoU for LTWH boxes (BoundingBox metric, `bbox.rs:397-414`)."""
+    inter = aligned_intersection_ltwh(a, b)
+    union = a[..., 2] * a[..., 3] + b[..., 2] * b[..., 3] - inter
+    return inter / union
