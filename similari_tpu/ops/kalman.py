@@ -209,8 +209,8 @@ def step_track_states(spec: KalmanSpec, s: KalmanState, z: jax.Array) -> KalmanS
 
 
 def empty_state(n: int, dim: int, dtype=jnp.float32) -> KalmanState:
-    zero = jnp.zeros((n, dim), dtype)
-    return KalmanState(zero, zero, zero, zero, zero)
+    # distinct buffers per leaf: aliased leaves break argument donation
+    return KalmanState(*(jnp.zeros((n, dim), dtype) for _ in range(5)))
 
 
 def gather_state(s: KalmanState, idx: jax.Array) -> KalmanState:

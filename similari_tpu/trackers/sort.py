@@ -1,0 +1,392 @@
+"""Sort — the easy-to-use SORT tracker (API parity with the reference).
+
+Mirrors `/root/reference/src/trackers/sort/simple_api.rs` and its pyo3 surface:
+`predict[_with_scene]`, `wasted`, `clear_wasted`, `idle_tracks[_with_scene]`,
+`skip_epochs[_for_scene]`, `current_epoch[_with_scene]`, `shard_stats`.
+
+Architecture: each scene owns a fixed-capacity SoA `SortState` on device; one
+jitted step per predict call.  Epochs, custom object ids and the wasted-track
+bin are host-side (they are bookkeeping, not compute).  The `shards` argument
+is accepted for API compatibility but parallelism comes from the device, not
+threads.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from enum import Enum
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.bbox import Universal2DBox
+from .constraints import SpatioTemporalConstraints
+from .sort_step import (
+    DEFAULT_MINIMAL_SORT_CONFIDENCE,
+    SortConfig,
+    compiled_sort_step,
+)
+from .state import SortState, grow_state, new_sort_state
+
+DEFAULT_AUTO_WASTE_PERIODICITY = 100  # `src/trackers/sort.rs:378`
+
+
+class VotingType(Enum):
+    Visual = 0
+    Positional = 1
+
+
+class PositionalMetricType:
+    """`PositionalMetricType.iou(threshold)` / `.maha()` (pyo3 parity)."""
+
+    def __init__(self, kind: str, threshold: Optional[float] = None):
+        self.kind = kind
+        self.threshold = threshold
+
+    @staticmethod
+    def iou(threshold: float = 0.3) -> "PositionalMetricType":
+        assert 0.0 < threshold < 1.0, "Threshold must lay between (0.0 and 1.0)"
+        return PositionalMetricType("iou", threshold)
+
+    @staticmethod
+    def maha() -> "PositionalMetricType":
+        return PositionalMetricType("maha")
+
+    def __repr__(self):
+        return (
+            f"PositionalMetricType.iou({self.threshold})"
+            if self.kind == "iou"
+            else "PositionalMetricType.maha()"
+        )
+
+
+@dataclasses.dataclass
+class SortTrack:
+    """Per-epoch track snapshot, `src/trackers/sort.rs:285-311`."""
+
+    id: int
+    epoch: int
+    predicted_bbox: Universal2DBox
+    observed_bbox: Universal2DBox
+    scene_id: int
+    length: int
+    voting_type: VotingType
+    custom_object_id: Optional[int]
+
+    def __repr__(self):
+        return (
+            f"SortTrack(id={self.id}, epoch={self.epoch}, scene_id={self.scene_id},"
+            f" length={self.length}, voting_type={self.voting_type.name},"
+            f" custom_object_id={self.custom_object_id},"
+            f" predicted_bbox={self.predicted_bbox}, observed_bbox={self.observed_bbox})"
+        )
+
+
+@dataclasses.dataclass
+class WastedSortTrack:
+    """Dead-track export with histories, `src/trackers/sort.rs:313-341`."""
+
+    id: int
+    epoch: int
+    predicted_bbox: Universal2DBox
+    observed_bbox: Universal2DBox
+    scene_id: int
+    length: int
+    predicted_boxes: List[Universal2DBox]
+    observed_boxes: List[Universal2DBox]
+
+    def __repr__(self):
+        return (
+            f"WastedSortTrack(id={self.id}, epoch={self.epoch},"
+            f" scene_id={self.scene_id}, length={self.length},"
+            f" predicted_bbox={self.predicted_bbox}, observed_bbox={self.observed_bbox},"
+            f" history={len(self.observed_boxes)})"
+        )
+
+
+class _SceneStore:
+    """Device state + host aux for one scene."""
+
+    def __init__(self, capacity: int, history: int, next_id_ref):
+        self.state: SortState = new_sort_state(capacity, history)
+        self.custom_ids = np.full((capacity,), -1, np.int64)
+        self.has_custom = np.zeros((capacity,), bool)
+        self.active_count = 0
+
+    def grow(self, min_capacity: int):
+        cap = self.state.capacity
+        new_cap = cap
+        while new_cap < min_capacity:
+            new_cap *= 2
+        if new_cap != cap:
+            self.state = grow_state(self.state, new_cap)
+            self.custom_ids = np.concatenate(
+                [self.custom_ids, np.full((new_cap - cap,), -1, np.int64)]
+            )
+            self.has_custom = np.concatenate(
+                [self.has_custom, np.zeros((new_cap - cap,), bool)]
+            )
+
+
+def _pad_pow2(n: int, lo: int = 8) -> int:
+    p = lo
+    while p < n:
+        p *= 2
+    return p
+
+
+def _box_from_row(row: np.ndarray, conf: float) -> Universal2DBox:
+    return Universal2DBox.from_vec5(row, conf)
+
+
+class Sort:
+    def __init__(
+        self,
+        shards: int = 4,
+        bbox_history: int = 1,
+        max_idle_epochs: int = 5,
+        method: Optional[PositionalMetricType] = None,
+        min_confidence: float = DEFAULT_MINIMAL_SORT_CONFIDENCE,
+        spatio_temporal_constraints: Optional[SpatioTemporalConstraints] = None,
+        kalman_position_weight: float = 1.0 / 20.0,
+        kalman_velocity_weight: float = 1.0 / 160.0,
+        *,
+        initial_capacity: int = 128,
+        assignment_backend: str = "hungarian",
+    ):
+        assert bbox_history > 0
+        method = method or PositionalMetricType.maha()
+        stc = spatio_temporal_constraints or SpatioTemporalConstraints()
+        self._cfg = SortConfig(
+            method=method.kind,
+            iou_threshold=method.threshold or 0.3,
+            min_confidence=min_confidence,
+            max_idle_epochs=max_idle_epochs,
+            constraints=stc.as_tuple(),
+            position_weight=kalman_position_weight,
+            velocity_weight=kalman_velocity_weight,
+            assignment=assignment_backend,
+        )
+        self._history = bbox_history
+        self._capacity0 = initial_capacity
+        self._scenes: Dict[int, _SceneStore] = {}
+        self._epochs: Dict[int, int] = {}
+        self._wasted_bin: List[WastedSortTrack] = []
+        self._auto_waste_counter = DEFAULT_AUTO_WASTE_PERIODICITY
+        self._next_track_id = 0  # global like the reference's Sort.track_id
+        self._step = compiled_sort_step(self._cfg)
+
+    # ------------------------------------------------------------------ epochs
+    def _next_epoch(self, scene_id: int) -> int:
+        e = self._epochs.get(scene_id, 0) + 1
+        self._epochs[scene_id] = e
+        return e
+
+    def skip_epochs(self, n: int):
+        self.skip_epochs_for_scene(0, n)
+
+    def skip_epochs_for_scene(self, scene_id: int, n: int):
+        """`epoch_db.rs:10-19` + auto-waste (`tracker_api.rs:48-51`)."""
+        self._epochs[scene_id] = self._epochs.get(scene_id, 0) + n
+        self._auto_waste()
+
+    def current_epoch(self) -> int:
+        return self.current_epoch_with_scene(0)
+
+    def current_epoch_with_scene(self, scene_id: int) -> int:
+        return self._epochs.get(scene_id, 0)
+
+    # ----------------------------------------------------------------- predict
+    def predict(
+        self, bboxes: Sequence[Tuple[Universal2DBox, Optional[int]]]
+    ) -> List[SortTrack]:
+        return self.predict_with_scene(0, bboxes)
+
+    def predict_with_scene(
+        self,
+        scene_id: int,
+        bboxes: Sequence[Tuple[Universal2DBox, Optional[int]]],
+    ) -> List[SortTrack]:
+        if self._auto_waste_counter == 0:
+            self._auto_waste()
+            self._auto_waste_counter = DEFAULT_AUTO_WASTE_PERIODICITY
+        else:
+            self._auto_waste_counter -= 1
+
+        epoch = self._next_epoch(scene_id)
+        if not bboxes:
+            return []
+
+        d = len(bboxes)
+        dpad = _pad_pow2(d)
+        det_box = np.zeros((dpad, 5), np.float32)
+        det_conf = np.zeros((dpad,), np.float32)
+        det_valid = np.zeros((dpad,), bool)
+        customs: List[Optional[int]] = []
+        for i, (bb, cid) in enumerate(bboxes):
+            det_box[i] = bb.to_vec5()
+            det_conf[i] = bb.confidence
+            det_valid[i] = True
+            customs.append(cid)
+
+        store = self._get_store(scene_id)
+        store.grow(store.active_count + d)
+        store.state = dataclasses.replace(store.state, next_id=jnp.int32(self._next_track_id))
+
+        state, out = self._step(
+            store.state,
+            jnp.asarray(det_box),
+            jnp.asarray(det_conf),
+            jnp.asarray(det_valid),
+            jnp.int32(epoch),
+        )
+        store.state = state
+
+        slot = np.asarray(out.slot)[:d]
+        track_id = np.asarray(out.track_id)[:d]
+        is_new = np.asarray(out.is_new)[:d]
+        pred_box = np.asarray(out.pred_box)[:d]
+        length = np.asarray(out.length)[:d]
+        assert not bool(np.asarray(out.overflow)), "track store overflow"
+
+        self._next_track_id = int(np.asarray(state.next_id))
+        store.active_count += int(is_new.sum())
+
+        res: List[SortTrack] = []
+        for i in range(d):
+            s = int(slot[i])
+            cid = customs[i]
+            store.custom_ids[s] = -1 if cid is None else cid
+            store.has_custom[s] = cid is not None
+            res.append(
+                SortTrack(
+                    id=int(track_id[i]),
+                    epoch=epoch,
+                    predicted_bbox=_box_from_row(pred_box[i], float(det_conf[i])),
+                    observed_bbox=_box_from_row(det_box[i], float(det_conf[i])),
+                    scene_id=scene_id,
+                    length=int(length[i]),
+                    voting_type=VotingType.Positional,
+                    custom_object_id=cid,
+                )
+            )
+        return res
+
+    def _get_store(self, scene_id: int) -> _SceneStore:
+        if scene_id not in self._scenes:
+            self._scenes[scene_id] = _SceneStore(
+                self._capacity0, self._history, None
+            )
+        return self._scenes[scene_id]
+
+    # ------------------------------------------------------------------- waste
+    def _auto_waste(self):
+        """Move dead tracks to the wasted bin, `tracker_api.rs:81-88`."""
+        for scene_id, store in self._scenes.items():
+            cur = self._epochs.get(scene_id, 0)
+            active = np.asarray(store.state.active)
+            last = np.asarray(store.state.last_epoch)
+            mask = active & (last + self._cfg.max_idle_epochs < cur)
+            if not mask.any():
+                continue
+            slots = np.nonzero(mask)[0]
+            self._export_wasted(scene_id, store, slots)
+
+    def _export_wasted(self, scene_id: int, store: _SceneStore, slots: np.ndarray):
+        st = store.state
+        h = st.history
+        hist_obs = np.asarray(st.hist_obs[slots])
+        hist_pred = np.asarray(st.hist_pred[slots])
+        hist_conf = np.asarray(st.hist_conf[slots])
+        length = np.asarray(st.length[slots])
+        track_id = np.asarray(st.track_id[slots])
+        last_epoch = np.asarray(st.last_epoch[slots])
+
+        for k, s in enumerate(slots):
+            ln = int(length[k])
+            n = min(ln, h)
+            order = [(ln - n + j) % h for j in range(n)]
+            obs = [
+                _box_from_row(hist_obs[k, o], float(hist_conf[k, o])) for o in order
+            ]
+            pred = [
+                _box_from_row(hist_pred[k, o], float(hist_conf[k, o])) for o in order
+            ]
+            self._wasted_bin.append(
+                WastedSortTrack(
+                    id=int(track_id[k]),
+                    epoch=int(last_epoch[k]),
+                    predicted_bbox=pred[-1],
+                    observed_bbox=obs[-1],
+                    scene_id=scene_id,
+                    length=ln,
+                    predicted_boxes=pred,
+                    observed_boxes=obs,
+                )
+            )
+        # deactivate the slots on device
+        sl = jnp.asarray(slots)
+        store.state = dataclasses.replace(
+            store.state, active=store.state.active.at[sl].set(False)
+        )
+        store.active_count -= len(slots)
+        store.has_custom[slots] = False
+
+    def wasted(self) -> List[WastedSortTrack]:
+        self._auto_waste()
+        out = self._wasted_bin
+        self._wasted_bin = []
+        return out
+
+    def clear_wasted(self):
+        """Drops the wasted bin only (`tracker_api.rs:116-118` clears the
+        wasted store without moving eligible tracks out of the main store)."""
+        self._wasted_bin = []
+
+    # -------------------------------------------------------------------- idle
+    def idle_tracks(self) -> List[SortTrack]:
+        return self.idle_tracks_with_scene(0)
+
+    def idle_tracks_with_scene(self, scene_id: int) -> List[SortTrack]:
+        """Active tracks not updated at the current epoch, `sort.rs:185-208`."""
+        store = self._scenes.get(scene_id)
+        if store is None:
+            return []
+        cur = self._epochs.get(scene_id, 0)
+        st = store.state
+        active = np.asarray(st.active)
+        last = np.asarray(st.last_epoch)
+        mask = active & (last != cur)
+        slots = np.nonzero(mask)[0]
+        if len(slots) == 0:
+            return []
+        pred = np.asarray(st.pred_box[slots])
+        obs = np.asarray(st.obs_box[slots])
+        conf = np.asarray(st.conf[slots])
+        tid = np.asarray(st.track_id[slots])
+        length = np.asarray(st.length[slots])
+        res = []
+        for k, s in enumerate(slots):
+            cid = int(store.custom_ids[s]) if store.has_custom[s] else None
+            res.append(
+                SortTrack(
+                    id=int(tid[k]),
+                    epoch=int(last[s]),
+                    predicted_bbox=_box_from_row(pred[k], float(conf[k])),
+                    observed_bbox=_box_from_row(obs[k], float(conf[k])),
+                    scene_id=scene_id,
+                    length=int(length[k]),
+                    voting_type=VotingType.Positional,
+                    custom_object_id=cid,
+                )
+            )
+        return res
+
+    # ------------------------------------------------------------------- stats
+    def shard_stats(self) -> List[int]:
+        """Active track count (single logical shard on device)."""
+        return [sum(s.active_count for s in self._scenes.values())]
+
+    def active_shard_stats(self) -> List[int]:
+        return self.shard_stats()

@@ -1,0 +1,216 @@
+"""The jitted SORT prediction step — one pure function per tracker config.
+
+Replaces the reference's per-epoch pipeline of candidate-track objects, shard
+executors, and a voting loop (`/root/reference/src/trackers/sort/simple_api.rs:110-196`)
+with a single fused device program:
+
+    (state, padded detections, epoch) -> (state', per-detection outputs)
+
+Semantics parity notes (all verified against the reference sources):
+
+* Candidate tracks in the reference run initiate->predict->update on their own
+  Kalman filter (`sort/metric.rs:79-105` -> `kalman_prediction.rs:13-32`),
+  which leaves the mean exactly at the detection box (zero innovation), so the
+  distance matrix compares *detection boxes* against *track predicted boxes*
+  and Mahalanobis uses the track's stored post-update state — exactly what we
+  compute here without materializing candidate objects.
+
+* On merge, `SortMetric::optimize` runs predict->update of the track state
+  with the candidate's stored box (== detection box) and bumps histories; a
+  lost candidate becomes a new track whose state is the candidate state.  Both
+  cases are the same computation given `prev = matched ? track_state :
+  initiate(z)`, which lets us scatter one masked batched KF update.
+
+* Voting is the augmented-matrix assignment of `SortVoting`
+  (`sort/voting.rs:27-100`): D x (D+T) weights, diagonal = new-track
+  threshold; matched pairs always carry weight >= threshold in an optimal
+  solution, which we also enforce explicitly to absorb auction epsilon-slop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import assignment as asg
+from ..ops import geometry as geo
+from ..ops import kalman as kal
+from .constraints import allowed_distance_for_delta
+from .state import SortState
+
+MAHALANOBIS_NEW_TRACK_THRESHOLD = 1.0  # `src/trackers/sort.rs:379`
+DEFAULT_SORT_IOU_THRESHOLD = 0.3  # `src/trackers/sort.rs:31`
+DEFAULT_MINIMAL_SORT_CONFIDENCE = 0.05  # `sort/metric.rs:11`
+
+
+@dataclasses.dataclass(frozen=True)
+class SortConfig:
+    """Static (hashable) tracker configuration; one compiled step per config."""
+
+    method: str = "maha"  # "iou" | "maha"
+    iou_threshold: float = DEFAULT_SORT_IOU_THRESHOLD
+    min_confidence: float = DEFAULT_MINIMAL_SORT_CONFIDENCE
+    max_idle_epochs: int = 5
+    constraints: Tuple[Tuple[int, float], ...] = ()
+    position_weight: float = kal.DEFAULT_POSITION_WEIGHT
+    velocity_weight: float = kal.DEFAULT_VELOCITY_WEIGHT
+    assignment: str = "hungarian"  # "hungarian" (host exact) | "auction" (device)
+
+    @property
+    def new_track_threshold(self) -> float:
+        return (
+            self.iou_threshold
+            if self.method == "iou"
+            else MAHALANOBIS_NEW_TRACK_THRESHOLD
+        )
+
+    @property
+    def kalman_spec(self) -> kal.KalmanSpec:
+        return kal.KalmanSpec(self.position_weight, self.velocity_weight, "box")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StepOutput:
+    slot: jax.Array  # [D] int32 store slot per detection
+    track_id: jax.Array  # [D] int32
+    is_new: jax.Array  # [D] bool (new track vs merged)
+    pred_box: jax.Array  # [D, 5]
+    length: jax.Array  # [D] int32
+    overflow: jax.Array  # [] bool — ran out of free slots (host must grow+retry)
+
+
+def distance_weights(
+    cfg: SortConfig, state: SortState, det_box: jax.Array, det_conf: jax.Array,
+    epoch: jax.Array,
+) -> jax.Array:
+    """The [D, T] voting weight matrix (0 = no edge).
+
+    Fuses the `compatible` gate (`sort.rs:250-270`), `too_far` prune and the
+    IoU/Mahalanobis metric (`sort/metric.rs:38-77`).
+    """
+    act = state.active
+    delta = epoch - state.last_epoch  # [T]
+    compat = act & (delta <= cfg.max_idle_epochs)
+    if cfg.constraints:
+        d2r = geo.dist_in_2r(det_box[:, None, :], state.pred_box[None, :, :])
+        allowed = allowed_distance_for_delta(cfg.constraints, delta)
+        compat = compat[None, :] & (d2r <= allowed[None, :])
+    else:
+        compat = jnp.broadcast_to(compat[None, :], (det_box.shape[0], act.shape[0]))
+
+    conf = jnp.maximum(det_conf, cfg.min_confidence)  # [D]
+    if cfg.method == "iou":
+        iou, valid = geo.universal_iou_matrix(det_box, state.pred_box)
+        m = iou * conf[:, None]
+        valid = valid & (m >= cfg.iou_threshold)
+        return jnp.where(compat & valid, m, 0.0)
+
+    d2 = cfg.kalman_spec.distance_matrix(state.kf, det_box)  # [D, T]
+    cost = kal.calculate_cost(d2, inverted=True)
+    m = cost / conf[:, None]
+    tf = geo.too_far(det_box[:, None, :], state.pred_box[None, :, :])
+    return jnp.where(compat & ~tf, m, 0.0)
+
+
+def _nth_free_slot(active: jax.Array) -> jax.Array:
+    """free_slots[r] = index of the r-th inactive slot (capacity where none)."""
+    t = active.shape[0]
+    free = ~active
+    rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    return jnp.full((t,), t, jnp.int32).at[
+        jnp.where(free, rank, t)
+    ].set(jnp.arange(t, dtype=jnp.int32), mode="drop")
+
+
+def sort_step(
+    cfg: SortConfig,
+    state: SortState,
+    det_box: jax.Array,  # [D, 5]
+    det_conf: jax.Array,  # [D]
+    det_valid: jax.Array,  # [D] bool
+    epoch: jax.Array,  # scalar int32
+) -> Tuple[SortState, StepOutput]:
+    d = det_box.shape[0]
+    t = state.capacity
+    spec = cfg.kalman_spec
+
+    W = distance_weights(cfg, state, det_box, det_conf, epoch)
+    A = asg.augment_with_threshold(
+        W, cfg.new_track_threshold, det_valid, state.active
+    )
+    col = asg.solve_lap(A, cfg.assignment)  # [D]
+    tgt = jnp.clip(col - d, 0, t - 1)
+    pair_w = W[jnp.arange(d), tgt]
+    matched = det_valid & (col >= d) & (pair_w >= cfg.new_track_threshold)
+
+    # --- slot allocation for new tracks ---------------------------------
+    is_new = det_valid & ~matched
+    free_slots = _nth_free_slot(state.active)
+    new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    n_new = jnp.sum(is_new.astype(jnp.int32))
+    n_free = jnp.sum((~state.active).astype(jnp.int32))
+    overflow = n_new > n_free
+    new_slot = free_slots[jnp.clip(new_rank, 0, t - 1)]
+    slot = jnp.where(matched, tgt, jnp.clip(new_slot, 0, t - 1))
+    safe = det_valid & ~overflow
+
+    # --- one masked batched Kalman step for matched + new ----------------
+    prev = jax.tree.map(
+        lambda tr, init: jnp.where(
+            matched[:, None], tr[slot], init
+        ),
+        state.kf,
+        spec.initiate(det_box),
+    )
+    st = spec.update(spec.predict(prev), det_box)
+    pred_box = st.mean_pos  # [D, 5]
+
+    new_length = jnp.where(matched, state.length[slot] + 1, 1)
+    new_ids = jnp.where(
+        matched,
+        state.track_id[slot],
+        state.next_id + new_rank + 1,
+    ).astype(jnp.int32)
+
+    # --- scatter updates --------------------------------------------------
+    sidx = jnp.where(safe, slot, t)  # drop writes for invalid/overflow
+
+    kf = jax.tree.map(
+        lambda dst, src: dst.at[sidx].set(src, mode="drop"), state.kf, st
+    )
+    h = state.history
+    hix = (new_length - 1) % h
+    new_state = SortState(
+        kf=kf,
+        pred_box=state.pred_box.at[sidx].set(pred_box, mode="drop"),
+        obs_box=state.obs_box.at[sidx].set(det_box, mode="drop"),
+        conf=state.conf.at[sidx].set(det_conf, mode="drop"),
+        active=state.active.at[sidx].set(True, mode="drop"),
+        last_epoch=state.last_epoch.at[sidx].set(epoch, mode="drop"),
+        length=state.length.at[sidx].set(new_length, mode="drop"),
+        track_id=state.track_id.at[sidx].set(new_ids, mode="drop"),
+        hist_obs=state.hist_obs.at[sidx, hix].set(det_box, mode="drop"),
+        hist_pred=state.hist_pred.at[sidx, hix].set(pred_box, mode="drop"),
+        hist_conf=state.hist_conf.at[sidx, hix].set(det_conf, mode="drop"),
+        next_id=(state.next_id + n_new).astype(jnp.int32),
+    )
+    out = StepOutput(
+        slot=slot.astype(jnp.int32),
+        track_id=new_ids,
+        is_new=is_new,
+        pred_box=pred_box,
+        length=new_length.astype(jnp.int32),
+        overflow=overflow,
+    )
+    return new_state, out
+
+
+@lru_cache(maxsize=None)
+def compiled_sort_step(cfg: SortConfig):
+    """One jitted step per config; shapes specialize on first call."""
+    return jax.jit(partial(sort_step, cfg), donate_argnums=(0,))
