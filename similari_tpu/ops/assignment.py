@@ -168,6 +168,14 @@ def hungarian_host(weights: jax.Array) -> jax.Array:
     )
 
 
+def resolve_backend(backend: str) -> str:
+    """'auto' -> exact host Hungarian on CPU, device auction on accelerators
+    (the axon TPU PJRT backend does not support host callbacks)."""
+    if backend != "auto":
+        return backend
+    return "hungarian" if jax.default_backend() == "cpu" else "auction"
+
+
 def solve_lap(weights: jax.Array, backend: str = "auction") -> jax.Array:
     if backend == "auction":
         return auction_lap(weights)

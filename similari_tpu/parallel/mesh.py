@@ -1,0 +1,102 @@
+"""Multi-scene / multi-chip execution: vmap within a chip, shard_map across.
+
+The reference scales by thread-per-shard executors and voting worker threads
+(`/root/reference/src/track/store.rs:333-346`, `sort/batch_api.rs:68-153`).
+The TPU-native equivalent: scenes are the parallel axis — a batch of per-scene
+SoA states is vmapped on one chip and sharded over a `jax.sharding.Mesh` axis
+across chips.  SORT semantics keep scenes isolated (`sort.rs:250-251`), so the
+only collectives are metric reductions (psum) — and, for the visual tracker,
+optional cross-shard gallery queries (all_gather), see `parallel/gallery.py`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..trackers.sort_step import SortConfig, sort_step
+from ..trackers.state import SortState, new_sort_state
+
+SCENE_AXIS = "scenes"
+
+
+def scene_mesh(n_devices: Optional[int] = None) -> Mesh:
+    devices = jax.devices()
+    if n_devices is not None:
+        devices = devices[:n_devices]
+    return Mesh(np.asarray(devices), (SCENE_AXIS,))
+
+
+def batched_sort_step(cfg: SortConfig):
+    """vmapped step over a leading scene axis (single device).
+
+    All arrays gain a leading [S] dim, including per-scene epochs and the
+    per-scene `next_id` counters inside the state.
+    """
+    return jax.vmap(partial(sort_step, cfg))
+
+
+def new_batched_state(n_scenes: int, capacity: int, history: int) -> SortState:
+    one = new_sort_state(capacity, history)
+    return jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (n_scenes,) + a.shape).copy(), one
+    )
+
+
+def sharded_sort_step(cfg: SortConfig, mesh: Mesh):
+    """shard_map'd batch step: scenes sharded over the mesh axis.
+
+    Includes a psum'd global new-track count so a real ICI collective is part
+    of the compiled program (the scenes themselves never communicate — that is
+    the correct sharding for SORT semantics, not a simplification).
+    """
+    vstep = batched_sort_step(cfg)
+
+    def local(state, det_box, det_conf, det_valid, epochs):
+        state, out = vstep(state, det_box, det_conf, det_valid, epochs)
+        new_tracks = jax.lax.psum(
+            jnp.sum(out.is_new.astype(jnp.int32)), SCENE_AXIS
+        )
+        return state, out, new_tracks
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(SCENE_AXIS), P(SCENE_AXIS), P(SCENE_AXIS), P(SCENE_AXIS), P(SCENE_AXIS)),
+        out_specs=(P(SCENE_AXIS), P(SCENE_AXIS), P()),
+        # the auction solver builds fresh (unvarying) carries inside the body;
+        # skip the varying-manual-axes check rather than pcast every carry
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
+def batched_sort_scan(cfg: SortConfig):
+    """Device pipeline over frames for a batch of scenes: scan(vmap(step)).
+
+    stream shapes: det_box[S, SC, D, 5], det_conf/valid[S, SC, D], epochs0[SC].
+    """
+    vstep = batched_sort_step(cfg)
+
+    def scan_fn(states, det_box, det_conf, det_valid, epochs0):
+        def body(st, inp):
+            box, conf, valid, i = inp
+            st, out = vstep(st, box, conf, valid, epochs0 + i)
+            return st, out.track_id
+
+        steps = det_box.shape[0]
+        idx = jnp.arange(steps, dtype=jnp.int32)
+        return jax.lax.scan(body, states, (det_box, det_conf, det_valid, idx))
+
+    return scan_fn
+
+
+def shard_batched_state(state: SortState, mesh: Mesh) -> SortState:
+    """Place a batched state with the scene axis sharded over the mesh."""
+    sharding = NamedSharding(mesh, P(SCENE_AXIS))
+    return jax.tree.map(lambda a: jax.device_put(a, sharding), state)

@@ -153,7 +153,7 @@ class Sort:
         kalman_velocity_weight: float = 1.0 / 160.0,
         *,
         initial_capacity: int = 128,
-        assignment_backend: str = "hungarian",
+        assignment_backend: str = "auto",
     ):
         assert bbox_history > 0
         method = method or PositionalMetricType.maha()
@@ -208,37 +208,80 @@ class Sort:
         scene_id: int,
         bboxes: Sequence[Tuple[Universal2DBox, Optional[int]]],
     ) -> List[SortTrack]:
+        if not bboxes:
+            self._tick_auto_waste()
+            self._next_epoch(scene_id)
+            return []
+        d = len(bboxes)
+        det_box = np.zeros((d, 5), np.float32)
+        det_conf = np.zeros((d,), np.float32)
+        customs: List[Optional[int]] = []
+        for i, (bb, cid) in enumerate(bboxes):
+            det_box[i] = bb.to_vec5()
+            det_conf[i] = bb.confidence
+            customs.append(cid)
+
+        epoch, track_id, pred_box, length, slot = self.predict_arrays(
+            scene_id, det_box, det_conf, customs
+        )
+
+        res: List[SortTrack] = []
+        for i in range(d):
+            res.append(
+                SortTrack(
+                    id=int(track_id[i]),
+                    epoch=epoch,
+                    predicted_bbox=_box_from_row(pred_box[i], float(det_conf[i])),
+                    observed_bbox=_box_from_row(det_box[i], float(det_conf[i])),
+                    scene_id=scene_id,
+                    length=int(length[i]),
+                    voting_type=VotingType.Positional,
+                    custom_object_id=customs[i],
+                )
+            )
+        return res
+
+    def _tick_auto_waste(self):
         if self._auto_waste_counter == 0:
             self._auto_waste()
             self._auto_waste_counter = DEFAULT_AUTO_WASTE_PERIODICITY
         else:
             self._auto_waste_counter -= 1
 
-        epoch = self._next_epoch(scene_id)
-        if not bboxes:
-            return []
+    def predict_arrays(
+        self,
+        scene_id: int,
+        det_box: np.ndarray,
+        det_conf: np.ndarray,
+        customs: Optional[Sequence[Optional[int]]] = None,
+    ):
+        """Array fast path: boxes[N,5] (xc,yc,angle,aspect,height) + conf[N].
 
-        d = len(bboxes)
+        Returns (epoch, track_id[N], pred_box[N,5], length[N], slot[N]).
+        This skips per-box Python objects — use for throughput-critical loops.
+        """
+        self._tick_auto_waste()
+        epoch = self._next_epoch(scene_id)
+        d = det_box.shape[0]
         dpad = _pad_pow2(d)
-        det_box = np.zeros((dpad, 5), np.float32)
-        det_conf = np.zeros((dpad,), np.float32)
-        det_valid = np.zeros((dpad,), bool)
-        customs: List[Optional[int]] = []
-        for i, (bb, cid) in enumerate(bboxes):
-            det_box[i] = bb.to_vec5()
-            det_conf[i] = bb.confidence
-            det_valid[i] = True
-            customs.append(cid)
+        box = np.zeros((dpad, 5), np.float32)
+        conf = np.zeros((dpad,), np.float32)
+        valid = np.zeros((dpad,), bool)
+        box[:d] = det_box
+        conf[:d] = det_conf
+        valid[:d] = True
 
         store = self._get_store(scene_id)
         store.grow(store.active_count + d)
-        store.state = dataclasses.replace(store.state, next_id=jnp.int32(self._next_track_id))
+        store.state = dataclasses.replace(
+            store.state, next_id=jnp.int32(self._next_track_id)
+        )
 
         state, out = self._step(
             store.state,
-            jnp.asarray(det_box),
-            jnp.asarray(det_conf),
-            jnp.asarray(det_valid),
+            jnp.asarray(box),
+            jnp.asarray(conf),
+            jnp.asarray(valid),
             jnp.int32(epoch),
         )
         store.state = state
@@ -252,26 +295,13 @@ class Sort:
 
         self._next_track_id = int(np.asarray(state.next_id))
         store.active_count += int(is_new.sum())
-
-        res: List[SortTrack] = []
-        for i in range(d):
-            s = int(slot[i])
-            cid = customs[i]
-            store.custom_ids[s] = -1 if cid is None else cid
-            store.has_custom[s] = cid is not None
-            res.append(
-                SortTrack(
-                    id=int(track_id[i]),
-                    epoch=epoch,
-                    predicted_bbox=_box_from_row(pred_box[i], float(det_conf[i])),
-                    observed_bbox=_box_from_row(det_box[i], float(det_conf[i])),
-                    scene_id=scene_id,
-                    length=int(length[i]),
-                    voting_type=VotingType.Positional,
-                    custom_object_id=cid,
-                )
-            )
-        return res
+        if customs is not None:
+            for i in range(d):
+                s = int(slot[i])
+                cid = customs[i]
+                store.custom_ids[s] = -1 if cid is None else cid
+                store.has_custom[s] = cid is not None
+        return epoch, track_id, pred_box, length, slot
 
     def _get_store(self, scene_id: int) -> _SceneStore:
         if scene_id not in self._scenes:

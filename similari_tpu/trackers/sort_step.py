@@ -58,7 +58,7 @@ class SortConfig:
     constraints: Tuple[Tuple[int, float], ...] = ()
     position_weight: float = kal.DEFAULT_POSITION_WEIGHT
     velocity_weight: float = kal.DEFAULT_VELOCITY_WEIGHT
-    assignment: str = "hungarian"  # "hungarian" (host exact) | "auction" (device)
+    assignment: str = "auto"  # "hungarian" (host exact) | "auction" (device)
 
     @property
     def new_track_threshold(self) -> float:
@@ -143,7 +143,7 @@ def sort_step(
     A = asg.augment_with_threshold(
         W, cfg.new_track_threshold, det_valid, state.active
     )
-    col = asg.solve_lap(A, cfg.assignment)  # [D]
+    col = asg.solve_lap(A, asg.resolve_backend(cfg.assignment))  # [D]
     tgt = jnp.clip(col - d, 0, t - 1)
     pair_w = W[jnp.arange(d), tgt]
     matched = det_valid & (col >= d) & (pair_w >= cfg.new_track_threshold)
@@ -214,3 +214,33 @@ def sort_step(
 def compiled_sort_step(cfg: SortConfig):
     """One jitted step per config; shapes specialize on first call."""
     return jax.jit(partial(sort_step, cfg), donate_argnums=(0,))
+
+
+def sort_scan(
+    cfg: SortConfig,
+    state: SortState,
+    det_box: jax.Array,  # [S, D, 5] frame-major detection stream
+    det_conf: jax.Array,  # [S, D]
+    det_valid: jax.Array,  # [S, D]
+    epoch0: jax.Array,  # scalar int32: epoch of the first frame
+) -> Tuple[SortState, StepOutput]:
+    """Device-resident tracking pipeline: scan the step over S frames.
+
+    One h2d for the whole stream, one d2h for all outputs — this is how a
+    production deployment runs (detections arrive from an on-device detector),
+    and how throughput benchmarks are measured.  Outputs are stacked [S, D].
+    """
+
+    def body(st, inp):
+        box, conf, valid, i = inp
+        st, out = sort_step(cfg, st, box, conf, valid, epoch0 + i)
+        return st, out
+
+    steps = det_box.shape[0]
+    idx = jnp.arange(steps, dtype=jnp.int32)
+    return jax.lax.scan(body, state, (det_box, det_conf, det_valid, idx))
+
+
+@lru_cache(maxsize=None)
+def compiled_sort_scan(cfg: SortConfig):
+    return jax.jit(partial(sort_scan, cfg), donate_argnums=(0,))

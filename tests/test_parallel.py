@@ -1,0 +1,74 @@
+"""Multi-scene vmap + multi-device shard_map tests (8 virtual CPU devices)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from similari_tpu.parallel import (
+    batched_sort_step,
+    new_batched_state,
+    scene_mesh,
+    shard_batched_state,
+    sharded_sort_step,
+)
+from similari_tpu.trackers.sort_step import SortConfig
+
+
+def make_dets(rng, s, d, spread=100.0):
+    box = np.zeros((s, d, 5), np.float32)
+    box[..., 0] = rng.uniform(0, spread, size=(s, d))
+    box[..., 1] = rng.uniform(0, spread, size=(s, d))
+    box[..., 3] = 0.5
+    box[..., 4] = 20.0
+    conf = np.ones((s, d), np.float32)
+    valid = np.ones((s, d), bool)
+    return box, conf, valid
+
+
+def test_vmapped_batch_step_matches_single():
+    cfg = SortConfig(method="iou", assignment="auction", max_idle_epochs=5)
+    rng = np.random.default_rng(0)
+    s, d, t = 4, 8, 32
+    state = new_batched_state(s, t, 4)
+    box, conf, valid = make_dets(rng, s, d)
+    vstep = jax.jit(batched_sort_step(cfg))
+    epochs = jnp.ones((s,), jnp.int32)
+
+    state2, out = vstep(state, jnp.asarray(box), jnp.asarray(conf), jnp.asarray(valid), epochs)
+    # each scene creates d new tracks with ids 1..d
+    ids = np.asarray(out.track_id)
+    for i in range(s):
+        assert sorted(ids[i].tolist()) == list(range(1, d + 1))
+
+    # second epoch: same boxes -> same ids (all matched)
+    state3, out2 = vstep(
+        state2, jnp.asarray(box), jnp.asarray(conf), jnp.asarray(valid), epochs + 1
+    )
+    np.testing.assert_array_equal(np.asarray(out2.track_id), ids)
+    assert not np.asarray(out2.is_new).any()
+
+
+def test_sharded_step_on_mesh():
+    n_dev = len(jax.devices())
+    assert n_dev == 8, f"expected 8 virtual devices, got {n_dev}"
+    mesh = scene_mesh()
+    cfg = SortConfig(method="iou", assignment="auction", max_idle_epochs=5)
+    rng = np.random.default_rng(1)
+    s, d, t = 16, 8, 32  # 2 scenes per device
+    state = shard_batched_state(new_batched_state(s, t, 4), mesh)
+    box, conf, valid = make_dets(rng, s, d)
+    step = sharded_sort_step(cfg, mesh)
+    epochs = jnp.ones((s,), jnp.int32)
+
+    state, out, new_tracks = step(
+        state, jnp.asarray(box), jnp.asarray(conf), jnp.asarray(valid), epochs
+    )
+    assert int(new_tracks) == s * d  # psum across devices
+    state, out2, new_tracks2 = step(
+        state, jnp.asarray(box), jnp.asarray(conf), jnp.asarray(valid), epochs + 1
+    )
+    assert int(new_tracks2) == 0
+    np.testing.assert_array_equal(
+        np.asarray(out2.track_id), np.asarray(out.track_id)
+    )
