@@ -5,6 +5,9 @@ insight-platform/Similari (mounted read-only at /root/reference): SORT /
 BatchSORT / VisualSORT trackers, batched Kalman filters, rotated-box geometry,
 NMS, polygon clipping, and a generic track/store engine — with the hot path as
 pure jitted SoA-tensor functions instead of per-track Rust objects.
+
+The public surface mirrors the reference `similari` Python module
+(`/root/reference/src/lib.rs:117-161`).
 """
 
 from .version import __version__, version  # noqa: F401
@@ -13,4 +16,25 @@ from .utils.bbox import (  # noqa: F401
     GenericBBoxConversionError,
     Polygon,
     Universal2DBox,
+)
+from .utils.clipping import (  # noqa: F401
+    exclusively_owned_areas,
+    exclusively_owned_areas_normalized_shares,
+    intersection_area,
+    sutherland_hodgman_clip,
+)
+from .utils.nms import nms  # noqa: F401
+from .trackers import (  # noqa: F401
+    PositionalMetricType,
+    Sort,
+    SortTrack,
+    SpatioTemporalConstraints,
+    VisualSort,
+    VisualSortMetricType,
+    VisualSortObservation,
+    VisualSortObservationSet,
+    VisualSortOptions,
+    VotingType,
+    WastedSortTrack,
+    WastedVisualSortTrack,
 )

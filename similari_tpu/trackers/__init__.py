@@ -6,3 +6,11 @@ from .sort import (  # noqa: F401
     VotingType,
     WastedSortTrack,
 )
+from .visual import (  # noqa: F401
+    VisualSort,
+    VisualSortMetricType,
+    VisualSortObservation,
+    VisualSortObservationSet,
+    VisualSortOptions,
+    WastedVisualSortTrack,
+)

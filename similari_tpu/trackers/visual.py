@@ -1,0 +1,532 @@
+"""VisualSort — DeepSORT-like tracker with ReID feature gallery (API parity).
+
+Mirrors `/root/reference/src/trackers/visual_sort/` and its pyo3 surface:
+`VisualSortOptions`, `VisualSortMetricType`, `VisualSortObservation(Set)`,
+`VisualSort`, `WastedVisualSortTrack`.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..utils.bbox import Universal2DBox
+from ..utils.clipping import exclusively_owned_areas_normalized_shares
+from .constraints import SpatioTemporalConstraints
+from .sort import (
+    DEFAULT_AUTO_WASTE_PERIODICITY,
+    PositionalMetricType,
+    SortTrack,
+    VotingType,
+    _box_from_row,
+    _pad_pow2,
+)
+from .visual_state import VisualState, grow_visual_state, new_visual_state
+from .visual_step import VisualConfig, compiled_visual_step
+
+F32_MAX = 3.4028235e38
+
+
+class VisualSortMetricType:
+    """`VisualSortMetricType.euclidean(t)` / `.cosine(t)` (`metric.rs:32-57`)."""
+
+    def __init__(self, kind: str, threshold: float):
+        self.kind = kind
+        self.threshold = threshold
+
+    @staticmethod
+    def euclidean(threshold: float = F32_MAX) -> "VisualSortMetricType":
+        assert threshold > 0.0, "Threshold must be a positive number"
+        return VisualSortMetricType("euclidean", threshold)
+
+    @staticmethod
+    def cosine(threshold: float) -> "VisualSortMetricType":
+        assert -1.0 <= threshold <= 1.0, "Threshold must lay within [-1.0:1:0]"
+        return VisualSortMetricType("cosine", threshold)
+
+    def __repr__(self):
+        return f"VisualSortMetricType.{self.kind}({self.threshold})"
+
+
+class VisualSortOptions:
+    """Builder parity with `options.rs:9-205` (defaults `options.rs:194-205`,
+    `metric/builder.rs:26-42`)."""
+
+    def __init__(self):
+        self._max_idle_epochs = 2
+        self._kept_history_length = 10
+        self._stc = SpatioTemporalConstraints()
+        self._visual_metric = VisualSortMetricType.euclidean(F32_MAX)
+        self._positional_metric = PositionalMetricType.iou(0.3)
+        self._visual_minimal_track_length = 3
+        self._visual_minimal_area = 0.0
+        self._visual_minimal_quality_use = 0.0
+        self._visual_minimal_quality_collect = 0.0
+        self._visual_max_observations = 5
+        self._visual_min_votes = 1
+        self._own_area_use = 0.0
+        self._own_area_collect = 0.0
+        self._positional_min_confidence = 0.1
+        self._kalman_position_weight = 1.0 / 20.0
+        self._kalman_velocity_weight = 1.0 / 160.0
+
+    def max_idle_epochs(self, n: int):
+        self._max_idle_epochs = int(n)
+        return self
+
+    def kept_history_length(self, n: int):
+        assert n > 0, "History length must be a positive number"
+        self._kept_history_length = int(n)
+        return self
+
+    def spatio_temporal_constraints(self, c: SpatioTemporalConstraints):
+        self._stc = c
+        return self
+
+    def visual_metric(self, m: VisualSortMetricType):
+        self._visual_metric = m
+        return self
+
+    def positional_metric(self, m: PositionalMetricType):
+        if m.kind == "iou":
+            assert m.threshold and 0.0 < m.threshold < 1.0
+        self._positional_metric = m
+        return self
+
+    def visual_minimal_track_length(self, n: int):
+        assert n > 0
+        self._visual_minimal_track_length = int(n)
+        return self
+
+    def visual_minimal_area(self, a: float):
+        assert a >= 0.0
+        self._visual_minimal_area = float(a)
+        return self
+
+    def visual_minimal_quality_use(self, q: float):
+        assert q >= 0.0
+        self._visual_minimal_quality_use = float(q)
+        return self
+
+    def visual_minimal_quality_collect(self, q: float):
+        assert q >= 0.0
+        self._visual_minimal_quality_collect = float(q)
+        return self
+
+    def visual_max_observations(self, n: int):
+        self._visual_max_observations = int(n)
+        return self
+
+    def visual_min_votes(self, n: int):
+        self._visual_min_votes = int(n)
+        return self
+
+    def visual_minimal_own_area_percentage_use(self, a: float):
+        assert 0.0 <= a <= 1.0
+        self._own_area_use = float(a)
+        return self
+
+    def visual_minimal_own_area_percentage_collect(self, a: float):
+        assert 0.0 <= a <= 1.0
+        self._own_area_collect = float(a)
+        return self
+
+    def positional_min_confidence(self, c: float):
+        assert 0.01 <= c <= 1.0
+        self._positional_min_confidence = float(c)
+        return self
+
+    def kalman_position_weight(self, w: float):
+        self._kalman_position_weight = float(w)
+        return self
+
+    def kalman_velocity_weight(self, w: float):
+        self._kalman_velocity_weight = float(w)
+        return self
+
+    def _build_config(self) -> VisualConfig:
+        # invariant check, `metric/builder.rs:134-140`
+        assert (
+            0 < self._visual_min_votes
+            and 0 < self._visual_minimal_track_length
+            and self._visual_minimal_track_length <= self._visual_max_observations
+        ), "Ratios for (visual_min_votes, visual_minimal_track_length, visual_max_observations) are broken"
+        return VisualConfig(
+            positional_kind=self._positional_metric.kind,
+            iou_threshold=self._positional_metric.threshold or 0.3,
+            positional_min_confidence=self._positional_min_confidence,
+            visual_kind=self._visual_metric.kind,
+            visual_threshold=self._visual_metric.threshold,
+            visual_minimal_track_length=self._visual_minimal_track_length,
+            visual_minimal_area=self._visual_minimal_area,
+            visual_minimal_quality_use=self._visual_minimal_quality_use,
+            visual_minimal_quality_collect=self._visual_minimal_quality_collect,
+            visual_min_votes=self._visual_min_votes,
+            own_area_use=self._own_area_use,
+            own_area_collect=self._own_area_collect,
+            max_idle_epochs=self._max_idle_epochs,
+            constraints=self._stc.as_tuple(),
+            position_weight=self._kalman_position_weight,
+            velocity_weight=self._kalman_velocity_weight,
+        )
+
+    def __repr__(self):
+        return f"VisualSortOptions({vars(self)})"
+
+
+class VisualSortObservation:
+    """`visual_sort.rs:34-79`: optional ReID feature + quality + bbox + id."""
+
+    def __init__(
+        self,
+        feature=None,
+        feature_quality: Optional[float] = None,
+        bounding_box: Universal2DBox = None,
+        custom_object_id: Optional[int] = None,
+    ):
+        assert bounding_box is not None, "bounding_box is required"
+        self.feature = None if feature is None else np.asarray(feature, np.float32).ravel()
+        self.feature_quality = feature_quality
+        self.bounding_box = bounding_box
+        self.custom_object_id = custom_object_id
+
+
+class VisualSortObservationSet:
+    def __init__(self):
+        self.observations: List[VisualSortObservation] = []
+
+    def add(self, observation: VisualSortObservation):
+        self.observations.append(observation)
+
+
+@dataclasses.dataclass
+class WastedVisualSortTrack:
+    """`visual_sort.rs:83-144`."""
+
+    id: int
+    epoch: int
+    predicted_bbox: Universal2DBox
+    observed_bbox: Universal2DBox
+    scene_id: int
+    length: int
+    predicted_boxes: List[Universal2DBox]
+    observed_boxes: List[Universal2DBox]
+    observed_features: List[Optional[np.ndarray]]
+
+    def __repr__(self):
+        return (
+            f"WastedVisualSortTrack(id={self.id}, epoch={self.epoch},"
+            f" scene_id={self.scene_id}, length={self.length})"
+        )
+
+
+class _VisualSceneStore:
+    def __init__(self, capacity, history, gallery, feature_dim):
+        self.state: VisualState = new_visual_state(
+            capacity, history, gallery, feature_dim
+        )
+        self.custom_ids = np.full((capacity,), -1, np.int64)
+        self.has_custom = np.zeros((capacity,), bool)
+        self.active_count = 0
+
+    def grow(self, min_capacity: int):
+        cap = self.state.capacity
+        new_cap = cap
+        while new_cap < min_capacity:
+            new_cap *= 2
+        if new_cap != cap:
+            self.state = grow_visual_state(self.state, new_cap)
+            self.custom_ids = np.concatenate(
+                [self.custom_ids, np.full((new_cap - cap,), -1, np.int64)]
+            )
+            self.has_custom = np.concatenate(
+                [self.has_custom, np.zeros((new_cap - cap,), bool)]
+            )
+
+    def grow_feature_dim(self, new_dim: int):
+        st = self.state
+        old = st.feature_dim
+        if new_dim <= old:
+            return
+        pad = ((0, 0), (0, 0), (0, new_dim - old))
+        self.state = dataclasses.replace(
+            st,
+            feats=jnp.pad(st.feats, pad),
+            hist_feat=jnp.pad(st.hist_feat, ((0, 0), (0, 0), (0, new_dim - old))),
+        )
+
+
+class VisualSort:
+    def __init__(
+        self,
+        shards: int = 4,
+        opts: Optional[VisualSortOptions] = None,
+        *,
+        initial_capacity: int = 128,
+        assignment_backend: str = "auto",
+    ):
+        opts = opts or VisualSortOptions()
+        self._opts = opts
+        self._cfg = dataclasses.replace(
+            opts._build_config(), assignment=assignment_backend
+        )
+        self._history = opts._kept_history_length
+        self._gallery = opts._visual_max_observations
+        self._capacity0 = initial_capacity
+        self._feature_dim = 0  # lazily fixed at first feature
+        self._scenes: Dict[int, _VisualSceneStore] = {}
+        self._epochs: Dict[int, int] = {}
+        self._wasted_bin: List[WastedVisualSortTrack] = []
+        self._auto_waste_counter = DEFAULT_AUTO_WASTE_PERIODICITY
+        self._next_track_id = 0
+        self._step = compiled_visual_step(self._cfg)
+
+    # ---------------------------------------------------------------- epochs
+    def _next_epoch(self, scene_id: int) -> int:
+        e = self._epochs.get(scene_id, 0) + 1
+        self._epochs[scene_id] = e
+        return e
+
+    def skip_epochs(self, n: int):
+        self.skip_epochs_for_scene(0, n)
+
+    def skip_epochs_for_scene(self, scene_id: int, n: int):
+        self._epochs[scene_id] = self._epochs.get(scene_id, 0) + n
+        self._auto_waste()
+
+    def current_epoch(self) -> int:
+        return self.current_epoch_with_scene(0)
+
+    def current_epoch_with_scene(self, scene_id: int) -> int:
+        return self._epochs.get(scene_id, 0)
+
+    # --------------------------------------------------------------- predict
+    def predict(self, observation_set: VisualSortObservationSet) -> List[SortTrack]:
+        return self.predict_with_scene(0, observation_set)
+
+    def predict_with_scene(
+        self, scene_id: int, observation_set: VisualSortObservationSet
+    ) -> List[SortTrack]:
+        if self._auto_waste_counter == 0:
+            self._auto_waste()
+            self._auto_waste_counter = DEFAULT_AUTO_WASTE_PERIODICITY
+        else:
+            self._auto_waste_counter -= 1
+
+        observations = observation_set.observations
+        epoch = self._next_epoch(scene_id)
+        if not observations:
+            return []
+
+        d = len(observations)
+        # own-area percentages when gating is enabled (`simple_api.rs:111-127`)
+        use_own_area = self._cfg.own_area_use + self._cfg.own_area_collect > 0.0
+        if use_own_area:
+            own_area = np.asarray(
+                exclusively_owned_areas_normalized_shares(
+                    [o.bounding_box for o in observations]
+                ),
+                np.float32,
+            )
+        else:
+            own_area = np.ones((d,), np.float32)
+
+        feat_dim = max(
+            [self._feature_dim]
+            + [len(o.feature) for o in observations if o.feature is not None]
+        )
+        feat_dim = max(feat_dim, 1)
+        if feat_dim != self._feature_dim:
+            self._feature_dim = feat_dim
+            for store in self._scenes.values():
+                store.grow_feature_dim(feat_dim)
+
+        dpad = _pad_pow2(d)
+        box = np.zeros((dpad, 5), np.float32)
+        conf = np.zeros((dpad,), np.float32)
+        valid = np.zeros((dpad,), bool)
+        feat = np.zeros((dpad, feat_dim), np.float32)
+        feat_valid = np.zeros((dpad,), bool)
+        quality = np.zeros((dpad,), np.float32)
+        oa = np.ones((dpad,), np.float32)
+        for i, o in enumerate(observations):
+            box[i] = o.bounding_box.to_vec5()
+            conf[i] = o.bounding_box.confidence
+            valid[i] = True
+            quality[i] = 1.0 if o.feature_quality is None else o.feature_quality
+            oa[i] = own_area[i] if use_own_area else 1.0
+            if o.feature is not None:
+                feat[i, : len(o.feature)] = o.feature
+                feat_valid[i] = True
+
+        store = self._get_store(scene_id)
+        store.grow(store.active_count + d)
+        store.state = dataclasses.replace(
+            store.state, next_id=jnp.int32(self._next_track_id)
+        )
+
+        state, out = self._step(
+            store.state,
+            jnp.asarray(box),
+            jnp.asarray(conf),
+            jnp.asarray(valid),
+            jnp.asarray(feat),
+            jnp.asarray(feat_valid),
+            jnp.asarray(quality),
+            jnp.asarray(oa),
+            jnp.int32(epoch),
+        )
+        store.state = state
+
+        slot = np.asarray(out.slot)[:d]
+        track_id = np.asarray(out.track_id)[:d]
+        is_new = np.asarray(out.is_new)[:d]
+        pred_box = np.asarray(out.pred_box)[:d]
+        length = np.asarray(out.length)[:d]
+        vt = np.asarray(out.voting_type)[:d]
+        assert not bool(np.asarray(out.overflow)), "track store overflow"
+
+        self._next_track_id = int(np.asarray(state.next_id))
+        store.active_count += int(is_new.sum())
+
+        res: List[SortTrack] = []
+        for i, o in enumerate(observations):
+            s = int(slot[i])
+            cid = o.custom_object_id
+            store.custom_ids[s] = -1 if cid is None else cid
+            store.has_custom[s] = cid is not None
+            res.append(
+                SortTrack(
+                    id=int(track_id[i]),
+                    epoch=epoch,
+                    predicted_bbox=_box_from_row(pred_box[i], float(conf[i])),
+                    observed_bbox=_box_from_row(box[i], float(conf[i])),
+                    scene_id=scene_id,
+                    length=int(length[i]),
+                    voting_type=(
+                        VotingType.Positional
+                        if is_new[i]
+                        else (VotingType.Visual if vt[i] == 0 else VotingType.Positional)
+                    ),
+                    custom_object_id=cid,
+                )
+            )
+        return res
+
+    def _get_store(self, scene_id: int) -> _VisualSceneStore:
+        if scene_id not in self._scenes:
+            self._scenes[scene_id] = _VisualSceneStore(
+                self._capacity0,
+                self._history,
+                self._gallery,
+                max(self._feature_dim, 1),
+            )
+        return self._scenes[scene_id]
+
+    # ----------------------------------------------------------------- waste
+    def _auto_waste(self):
+        for scene_id, store in self._scenes.items():
+            cur = self._epochs.get(scene_id, 0)
+            active = np.asarray(store.state.active)
+            last = np.asarray(store.state.last_epoch)
+            mask = active & (last + self._cfg.max_idle_epochs < cur)
+            if not mask.any():
+                continue
+            self._export_wasted(scene_id, store, np.nonzero(mask)[0])
+
+    def _export_wasted(self, scene_id, store, slots):
+        st = store.state
+        h = st.history
+        hist_obs = np.asarray(st.hist_obs[slots])
+        hist_pred = np.asarray(st.hist_pred[slots])
+        hist_conf = np.asarray(st.hist_conf[slots])
+        hist_feat = np.asarray(st.hist_feat[slots])
+        hist_fv = np.asarray(st.hist_feat_valid[slots])
+        length = np.asarray(st.length[slots])
+        track_id = np.asarray(st.track_id[slots])
+        last_epoch = np.asarray(st.last_epoch[slots])
+
+        for k in range(len(slots)):
+            ln = int(length[k])
+            n = min(ln, h)
+            order = [(ln - n + j) % h for j in range(n)]
+            obs = [_box_from_row(hist_obs[k, o], float(hist_conf[k, o])) for o in order]
+            pred = [_box_from_row(hist_pred[k, o], float(hist_conf[k, o])) for o in order]
+            feats = [
+                hist_feat[k, o].copy() if hist_fv[k, o] else None for o in order
+            ]
+            self._wasted_bin.append(
+                WastedVisualSortTrack(
+                    id=int(track_id[k]),
+                    epoch=int(last_epoch[k]),
+                    predicted_bbox=pred[-1],
+                    observed_bbox=obs[-1],
+                    scene_id=scene_id,
+                    length=ln,
+                    predicted_boxes=pred,
+                    observed_boxes=obs,
+                    observed_features=feats,
+                )
+            )
+        sl = jnp.asarray(slots)
+        store.state = dataclasses.replace(
+            store.state, active=store.state.active.at[sl].set(False)
+        )
+        store.active_count -= len(slots)
+        store.has_custom[slots] = False
+
+    def wasted(self) -> List[WastedVisualSortTrack]:
+        self._auto_waste()
+        out = self._wasted_bin
+        self._wasted_bin = []
+        return out
+
+    def clear_wasted(self):
+        self._wasted_bin = []
+
+    # ------------------------------------------------------------------ idle
+    def idle_tracks(self) -> List[SortTrack]:
+        return self.idle_tracks_with_scene(0)
+
+    def idle_tracks_with_scene(self, scene_id: int) -> List[SortTrack]:
+        store = self._scenes.get(scene_id)
+        if store is None:
+            return []
+        cur = self._epochs.get(scene_id, 0)
+        st = store.state
+        active = np.asarray(st.active)
+        last = np.asarray(st.last_epoch)
+        mask = active & (last != cur)
+        slots = np.nonzero(mask)[0]
+        if len(slots) == 0:
+            return []
+        pred = np.asarray(st.pred_box[slots])
+        obs = np.asarray(st.obs_box[slots])
+        conf = np.asarray(st.conf[slots])
+        tid = np.asarray(st.track_id[slots])
+        length = np.asarray(st.length[slots])
+        vt = np.asarray(st.voting_type[slots])
+        res = []
+        for k, s in enumerate(slots):
+            cid = int(store.custom_ids[s]) if store.has_custom[s] else None
+            res.append(
+                SortTrack(
+                    id=int(tid[k]),
+                    epoch=int(last[s]),
+                    predicted_bbox=_box_from_row(pred[k], float(conf[k])),
+                    observed_bbox=_box_from_row(obs[k], float(conf[k])),
+                    scene_id=scene_id,
+                    length=int(length[k]),
+                    voting_type=(
+                        VotingType.Visual if vt[k] == 0 else VotingType.Positional
+                    ),
+                    custom_object_id=cid,
+                )
+            )
+        return res
+
+    def shard_stats(self) -> List[int]:
+        return [sum(s.active_count for s in self._scenes.values())]

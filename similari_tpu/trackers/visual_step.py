@@ -1,0 +1,339 @@
+"""The jitted VisualSORT step — ReID gallery matching + positional fallback.
+
+One fused device program per predict, replacing the reference pipeline
+(`/root/reference/src/trackers/visual_sort/simple_api.rs:99-230`):
+
+1. metric: positional part vs the track's newest box + gallery feature
+   distances gated by quality/own-area/area and track maturity
+   (`visual_sort/metric.rs:156-295`);
+2. cascade voting (`visual_sort/voting.rs:45-101`): greedy best-fit on
+   feature votes (BestFitVoting, `voting/best.rs:52-128`), then Hungarian on
+   the positional remainder;
+3. masked state update: batched KF step, gallery insert with quality-sorted
+   eviction and collect gates (`visual_sort/metric.rs:297-374`).
+
+The greedy best-fit claim is computed in closed form: track t is claimed by
+its globally heaviest (candidate, t) pair, so candidate d wins its best track
+t1 iff argmax_d' weight[d', t1] == d; otherwise d becomes a new track and is
+excluded from the positional stage (matching the reference's winner=self
+behavior, `voting/best.rs:110-120`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops import assignment as asg
+from ..ops import distances as dst
+from ..ops import geometry as geo
+from ..ops import kalman as kal
+from .constraints import allowed_distance_for_delta
+from .sort_step import MAHALANOBIS_NEW_TRACK_THRESHOLD
+from .visual_state import VisualState
+
+VT_VISUAL = 0
+VT_POSITIONAL = 1
+_NEG = -1e30
+
+
+@dataclasses.dataclass(frozen=True)
+class VisualConfig:
+    """Static VisualSORT configuration (defaults per `metric/builder.rs:26-42`
+    and `options.rs:194-205`)."""
+
+    positional_kind: str = "iou"  # "iou" | "maha"
+    iou_threshold: float = 0.3
+    positional_min_confidence: float = 0.1
+    visual_kind: str = "euclidean"  # "euclidean" | "cosine"
+    visual_threshold: float = 3.4e38  # f32::MAX default for euclidean
+    visual_minimal_track_length: int = 3
+    visual_minimal_area: float = 0.0
+    visual_minimal_quality_use: float = 0.0
+    visual_minimal_quality_collect: float = 0.0
+    visual_min_votes: int = 1
+    own_area_use: float = 0.0
+    own_area_collect: float = 0.0
+    max_idle_epochs: int = 2
+    constraints: Tuple[Tuple[int, float], ...] = ()
+    position_weight: float = kal.DEFAULT_POSITION_WEIGHT
+    velocity_weight: float = kal.DEFAULT_VELOCITY_WEIGHT
+    assignment: str = "auto"
+
+    @property
+    def new_track_threshold(self) -> float:
+        return (
+            self.iou_threshold
+            if self.positional_kind == "iou"
+            else MAHALANOBIS_NEW_TRACK_THRESHOLD
+        )
+
+    @property
+    def kalman_spec(self) -> kal.KalmanSpec:
+        return kal.KalmanSpec(self.position_weight, self.velocity_weight, "box")
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class VisualStepOutput:
+    slot: jax.Array  # [D] int32
+    track_id: jax.Array  # [D] int32
+    is_new: jax.Array  # [D] bool
+    pred_box: jax.Array  # [D, 5]
+    length: jax.Array  # [D] int32
+    voting_type: jax.Array  # [D] int32 (VT_VISUAL / VT_POSITIONAL)
+    overflow: jax.Array  # [] bool
+
+
+def _compat_matrix(cfg, state, det_box, epoch):
+    """`VisualAttributes::compatible` (`track_attributes.rs:188-208`)."""
+    act = state.active
+    delta = epoch - state.last_epoch
+    compat = act & (delta <= cfg.max_idle_epochs)
+    if cfg.constraints:
+        d2r = geo.dist_in_2r(det_box[:, None, :], state.pred_box[None, :, :])
+        allowed = allowed_distance_for_delta(cfg.constraints, delta)
+        return compat[None, :] & (d2r <= allowed[None, :])
+    return jnp.broadcast_to(compat[None, :], (det_box.shape[0], act.shape[0]))
+
+
+def positional_weights(cfg, state, det_box, det_conf, compat):
+    """[D,T] positional metric + validity (`visual_sort/metric.rs:156-198`)."""
+    conf = jnp.maximum(det_conf, cfg.positional_min_confidence)
+    if cfg.positional_kind == "iou":
+        iou, valid = geo.universal_iou_matrix(det_box, state.pred_box)
+        m = iou * conf[:, None]
+        valid = valid & (m >= cfg.iou_threshold) & compat
+        return jnp.where(valid, m, 0.0), valid
+    d2 = cfg.kalman_spec.distance_matrix(state.kf, det_box)
+    cost = kal.calculate_cost(d2, inverted=True)
+    m = cost / conf[:, None]
+    tf = geo.too_far(det_box[:, None, :], state.pred_box[None, :, :])
+    valid = compat & ~tf
+    return jnp.where(valid, m, 0.0), valid
+
+
+def visual_votes(cfg, state, det_feat, det_gate, compat):
+    """Vote counts + best-fit weights from gallery feature distances.
+
+    Returns (votes[D,T], weight[D,T]) where weight = sum(max_dist - d) over
+    metric-passed gallery entries (`voting/best.rs:52-104` with the
+    f32::MAX voting threshold the tracker passes, `simple_api.rs:179-186`).
+    """
+    if cfg.visual_kind == "euclidean":
+        dmat = dst.euclidean_matrix(det_feat, state.feats)  # [D,T,K]
+        ok = dmat <= cfg.visual_threshold
+        w = dmat
+    else:
+        sim = dst.cosine_matrix(det_feat, state.feats)
+        ok = sim >= cfg.visual_threshold
+        w = 1.0 - sim
+
+    track_gate = state.collected >= cfg.visual_minimal_track_length  # [T]
+    valid = (
+        det_gate[:, None, None]
+        & compat[:, :, None]
+        & track_gate[None, :, None]
+        & state.feat_valid[None, :, :]
+        & ok
+    )
+    votes = jnp.sum(valid, axis=2)
+    # the reference's max_dist is the max over every metric-passed distance
+    max_dist = jnp.max(jnp.where(valid, w, _NEG))
+    weight = jnp.sum(jnp.where(valid, max_dist - w, 0.0), axis=2)
+    return votes, weight
+
+
+def visual_step(
+    cfg: VisualConfig,
+    state: VisualState,
+    det_box: jax.Array,  # [D, 5]
+    det_conf: jax.Array,  # [D]
+    det_valid: jax.Array,  # [D] bool
+    det_feat: jax.Array,  # [D, F]
+    det_feat_valid: jax.Array,  # [D] bool
+    det_quality: jax.Array,  # [D]
+    det_own_area: jax.Array,  # [D] (1.0 when own-area gating is off)
+    epoch: jax.Array,  # scalar int32
+) -> Tuple[VisualState, VisualStepOutput]:
+    d = det_box.shape[0]
+    t = state.capacity
+    k = state.gallery_size
+    spec = cfg.kalman_spec
+
+    compat = _compat_matrix(cfg, state, det_box, epoch)
+    P, p_valid = positional_weights(cfg, state, det_box, det_conf, compat)
+
+    # candidate-side feature gates (`visual_sort/metric.rs:227-249`)
+    area_ok = geo.box_area(det_box) >= cfg.visual_minimal_area
+    use_gate = (
+        det_feat_valid
+        & det_valid
+        & (det_quality >= cfg.visual_minimal_quality_use)
+        & (det_own_area >= cfg.own_area_use)
+        & area_ok
+    )
+    collect_gate = (
+        det_feat_valid
+        & (det_quality >= cfg.visual_minimal_quality_collect)
+        & (det_own_area >= cfg.own_area_collect)
+        & area_ok
+    )
+
+    votes, vweight = visual_votes(cfg, state, det_feat, use_gate, compat)
+    eligible = (votes >= cfg.visual_min_votes) & det_valid[:, None]
+    w = jnp.where(eligible, vweight, _NEG)
+
+    # --- greedy best-fit in closed form ----------------------------------
+    t1 = jnp.argmax(w, axis=1)  # [D] best track per candidate
+    has_any = jnp.any(eligible, axis=1)  # candidate participates in visual
+    best_query = jnp.argmax(w, axis=0)  # [T] heaviest candidate per track
+    wins_visual = has_any & (best_query[t1] == jnp.arange(d))
+    visual_decided = has_any  # winner==self still excludes from positional
+    claimed = jnp.zeros((t,), bool).at[
+        jnp.where(wins_visual, t1, t)
+    ].set(True, mode="drop")
+
+    # --- positional Hungarian on the remainder ---------------------------
+    row_open = det_valid & ~visual_decided
+    col_open = state.active & ~claimed
+    P_masked = jnp.where(row_open[:, None] & col_open[None, :] & p_valid, P, 0.0)
+    A = asg.augment_with_threshold(
+        P_masked, cfg.new_track_threshold, det_valid, col_open
+    )
+    col = asg.solve_lap(A, asg.resolve_backend(cfg.assignment))
+    ptgt = jnp.clip(col - d, 0, t - 1)
+    pos_matched = (
+        row_open
+        & (col >= d)
+        & (P_masked[jnp.arange(d), ptgt] >= cfg.new_track_threshold)
+    )
+
+    matched = wins_visual | pos_matched
+    tgt = jnp.where(wins_visual, t1, ptgt)
+    vt = jnp.where(wins_visual, VT_VISUAL, VT_POSITIONAL).astype(jnp.int32)
+
+    # --- slot allocation --------------------------------------------------
+    is_new = det_valid & ~matched
+    free = ~state.active
+    rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    free_slots = jnp.full((t,), t, jnp.int32).at[
+        jnp.where(free, rank, t)
+    ].set(jnp.arange(t, dtype=jnp.int32), mode="drop")
+    new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
+    n_new = jnp.sum(is_new.astype(jnp.int32))
+    overflow = n_new > jnp.sum(free.astype(jnp.int32))
+    slot = jnp.where(matched, tgt, free_slots[jnp.clip(new_rank, 0, t - 1)])
+    slot = jnp.clip(slot, 0, t - 1)
+    safe = det_valid & ~overflow
+    sidx = jnp.where(safe, slot, t)
+
+    # --- Kalman update ----------------------------------------------------
+    prev = jax.tree.map(
+        lambda tr, init: jnp.where(matched[:, None], tr[slot], init),
+        state.kf,
+        spec.initiate(det_box),
+    )
+    st = spec.update(spec.predict(prev), det_box)
+    pred_box = st.mean_pos
+
+    new_length = jnp.where(matched, state.length[slot] + 1, 1)
+    new_ids = jnp.where(
+        matched, state.track_id[slot], state.next_id + new_rank + 1
+    ).astype(jnp.int32)
+
+    # --- gallery update (`visual_sort/metric.rs:297-374`) -----------------
+    gal_valid = jnp.where(matched[:, None], state.feat_valid[slot], False)  # [D,K]
+    gal_q = state.feat_quality[slot]
+    n_f = jnp.sum(gal_valid, axis=1)
+    evict_needed = n_f >= k
+    evict_k = jnp.argmin(jnp.where(gal_valid, gal_q, jnp.inf), axis=1)
+    onehot_evict = jax.nn.one_hot(evict_k, k, dtype=bool)
+    gal_valid = gal_valid & ~(evict_needed[:, None] & onehot_evict)
+    # the first feature of a brand-new track bypasses the collect gate
+    # (candidate optimize runs with is_merge=false, `track.rs:486-492`)
+    keep_new = det_feat_valid & jnp.where(is_new, True, collect_gate)
+    free_k = jnp.argmax(~gal_valid, axis=1)  # always exists after eviction
+    onehot_new = jax.nn.one_hot(free_k, k, dtype=bool) & keep_new[:, None]
+    final_valid = gal_valid | onehot_new
+    final_q = jnp.where(onehot_new, det_quality[:, None], gal_q)
+    collected = jnp.sum(final_valid, axis=1).astype(jnp.int32)
+
+    h = state.history
+    hix = (new_length - 1) % h
+    feat_write = jnp.where(safe & keep_new, slot, t)
+
+    new_state = VisualState(
+        kf=jax.tree.map(
+            lambda dstt, src: dstt.at[sidx].set(src, mode="drop"), state.kf, st
+        ),
+        pred_box=state.pred_box.at[sidx].set(pred_box, mode="drop"),
+        obs_box=state.obs_box.at[sidx].set(det_box, mode="drop"),
+        conf=state.conf.at[sidx].set(det_conf, mode="drop"),
+        active=state.active.at[sidx].set(True, mode="drop"),
+        last_epoch=state.last_epoch.at[sidx].set(epoch, mode="drop"),
+        length=state.length.at[sidx].set(new_length, mode="drop"),
+        track_id=state.track_id.at[sidx].set(new_ids, mode="drop"),
+        hist_obs=state.hist_obs.at[sidx, hix].set(det_box, mode="drop"),
+        hist_pred=state.hist_pred.at[sidx, hix].set(pred_box, mode="drop"),
+        hist_conf=state.hist_conf.at[sidx, hix].set(det_conf, mode="drop"),
+        next_id=(state.next_id + n_new).astype(jnp.int32),
+        feats=state.feats.at[feat_write, free_k].set(det_feat, mode="drop"),
+        feat_quality=state.feat_quality.at[sidx].set(final_q, mode="drop"),
+        feat_valid=state.feat_valid.at[sidx].set(final_valid, mode="drop"),
+        collected=state.collected.at[sidx].set(collected, mode="drop"),
+        voting_type=state.voting_type.at[sidx].set(vt, mode="drop"),
+        hist_feat=state.hist_feat.at[sidx, hix].set(det_feat, mode="drop"),
+        hist_feat_valid=state.hist_feat_valid.at[sidx, hix].set(
+            det_feat_valid, mode="drop"
+        ),
+    )
+    out = VisualStepOutput(
+        slot=slot.astype(jnp.int32),
+        track_id=new_ids,
+        is_new=is_new,
+        pred_box=pred_box,
+        length=new_length.astype(jnp.int32),
+        voting_type=vt,
+        overflow=overflow,
+    )
+    return new_state, out
+
+
+@lru_cache(maxsize=None)
+def compiled_visual_step(cfg: VisualConfig):
+    return jax.jit(partial(visual_step, cfg), donate_argnums=(0,))
+
+
+def visual_scan(
+    cfg: VisualConfig,
+    state: VisualState,
+    det_box, det_conf, det_valid, det_feat, det_feat_valid, det_quality,
+    det_own_area, epoch0,
+):
+    """Device-resident pipeline over a frame stream (shapes [S, D, ...])."""
+
+    def body(st, inp):
+        box, conf, valid, feat, fvalid, qual, oa, i = inp
+        st, out = visual_step(
+            cfg, st, box, conf, valid, feat, fvalid, qual, oa, epoch0 + i
+        )
+        return st, out
+
+    steps = det_box.shape[0]
+    idx = jnp.arange(steps, dtype=jnp.int32)
+    return jax.lax.scan(
+        body,
+        state,
+        (det_box, det_conf, det_valid, det_feat, det_feat_valid, det_quality,
+         det_own_area, idx),
+    )
+
+
+@lru_cache(maxsize=None)
+def compiled_visual_scan(cfg: VisualConfig):
+    return jax.jit(partial(visual_scan, cfg), donate_argnums=(0,))
