@@ -6,6 +6,13 @@ from .sort import (  # noqa: F401
     VotingType,
     WastedSortTrack,
 )
+from .batch import (  # noqa: F401
+    BatchSort,
+    BatchVisualSort,
+    PredictionBatchResult,
+    SortPredictionBatchRequest,
+    VisualSortPredictionBatchRequest,
+)
 from .visual import (  # noqa: F401
     VisualSort,
     VisualSortMetricType,

@@ -1,0 +1,208 @@
+"""Batch tracker APIs: BatchSort / BatchVisualSort + request/result types.
+
+API parity with `/root/reference/src/trackers/batch.rs` and the batch
+trackers (`sort/batch_api.rs`, `visual_sort/batch_api.rs`).  The reference
+overlaps per-scene voting with the next scene's distance computation using
+worker threads; on TPU the equivalent concurrency is the device pipeline — all
+scenes of a batch are dispatched as asynchronous jitted steps and the result
+object drains them in completion order.  For maximum throughput over many
+scenes use the scene-batched scan path (`similari_tpu.parallel`), which fuses
+the whole batch into one device program.
+
+`distance_shards` / `voting_shards` are accepted for API compatibility.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Dict, List, Optional, Tuple
+
+from ..utils.bbox import Universal2DBox
+from .constraints import SpatioTemporalConstraints
+from .sort import PositionalMetricType, Sort, SortTrack, WastedSortTrack
+from .visual import (
+    VisualSort,
+    VisualSortObservation,
+    VisualSortObservationSet,
+    VisualSortOptions,
+    WastedVisualSortTrack,
+)
+
+SceneTracks = Tuple[int, List[SortTrack]]
+
+
+class PredictionBatchResult:
+    """Per-scene result stream (`batch.rs:18-38`)."""
+
+    def __init__(self):
+        self._queue: deque = deque()
+        self._batch_size = 0
+
+    def ready(self) -> bool:
+        return len(self._queue) > 0
+
+    def get(self) -> SceneTracks:
+        if not self._queue:
+            raise RuntimeError("no more batch results pending")
+        return self._queue.popleft()
+
+    def batch_size(self) -> int:
+        return self._batch_size
+
+    def _push(self, scene_tracks: SceneTracks):
+        self._queue.append(scene_tracks)
+
+
+class SortPredictionBatchRequest:
+    """`sort/batch_api.rs:339-358`."""
+
+    def __init__(self):
+        self.batch: Dict[int, List[Tuple[Universal2DBox, Optional[int]]]] = {}
+        self.result: Optional[PredictionBatchResult] = PredictionBatchResult()
+
+    def add(
+        self,
+        scene_id: int,
+        bbox: Universal2DBox,
+        custom_object_id: Optional[int] = None,
+    ):
+        self.batch.setdefault(scene_id, []).append((bbox, custom_object_id))
+        self.result._batch_size = len(self.batch)
+
+    def batch_size(self) -> int:
+        return len(self.batch)
+
+
+class BatchSort:
+    """Multi-scene SORT (`sort/batch_api.rs:35-317`)."""
+
+    def __init__(
+        self,
+        distance_shards: int = 4,
+        voting_shards: int = 4,
+        bbox_history: int = 1,
+        max_idle_epochs: int = 5,
+        method: Optional[PositionalMetricType] = None,
+        min_confidence: float = 0.05,
+        spatio_temporal_constraints: Optional[SpatioTemporalConstraints] = None,
+        kalman_position_weight: float = 1.0 / 20.0,
+        kalman_velocity_weight: float = 1.0 / 160.0,
+        **kw,
+    ):
+        self._inner = Sort(
+            shards=distance_shards,
+            bbox_history=bbox_history,
+            max_idle_epochs=max_idle_epochs,
+            method=method,
+            min_confidence=min_confidence,
+            spatio_temporal_constraints=spatio_temporal_constraints,
+            kalman_position_weight=kalman_position_weight,
+            kalman_velocity_weight=kalman_velocity_weight,
+            **kw,
+        )
+
+    def predict(self, batch_request: SortPredictionBatchRequest) -> PredictionBatchResult:
+        result = batch_request.result or PredictionBatchResult()
+        batch_request.result = None
+        result._batch_size = len(batch_request.batch)
+        for scene_id, bboxes in batch_request.batch.items():
+            tracks = self._inner.predict_with_scene(scene_id, bboxes)
+            result._push((scene_id, tracks))
+        return result
+
+    # lifecycle passthrough -------------------------------------------------
+    def skip_epochs(self, n: int):
+        self._inner.skip_epochs(n)
+
+    def skip_epochs_for_scene(self, scene_id: int, n: int):
+        self._inner.skip_epochs_for_scene(scene_id, n)
+
+    def current_epoch(self) -> int:
+        return self._inner.current_epoch()
+
+    def current_epoch_with_scene(self, scene_id: int) -> int:
+        return self._inner.current_epoch_with_scene(scene_id)
+
+    def wasted(self) -> List[WastedSortTrack]:
+        return self._inner.wasted()
+
+    def clear_wasted(self):
+        self._inner.clear_wasted()
+
+    def idle_tracks(self, scene_id: int = 0) -> List[SortTrack]:
+        return self._inner.idle_tracks_with_scene(scene_id)
+
+    def idle_tracks_with_scene(self, scene_id: int) -> List[SortTrack]:
+        return self._inner.idle_tracks_with_scene(scene_id)
+
+    def shard_stats(self) -> List[int]:
+        return self._inner.shard_stats()
+
+
+class VisualSortPredictionBatchRequest:
+    """`visual_sort/batch_api.rs` request flavor."""
+
+    def __init__(self):
+        self.batch: Dict[int, List[VisualSortObservation]] = {}
+        self.result: Optional[PredictionBatchResult] = PredictionBatchResult()
+
+    def add(self, scene_id: int, observation: VisualSortObservation):
+        self.batch.setdefault(scene_id, []).append(observation)
+        self.result._batch_size = len(self.batch)
+
+    def batch_size(self) -> int:
+        return len(self.batch)
+
+
+class BatchVisualSort:
+    """Multi-scene VisualSORT (`visual_sort/batch_api.rs:54-335`)."""
+
+    def __init__(
+        self,
+        distance_shards: int = 4,
+        voting_shards: int = 4,
+        opts: Optional[VisualSortOptions] = None,
+        **kw,
+    ):
+        self._inner = VisualSort(distance_shards, opts, **kw)
+
+    def predict(
+        self, batch_request: VisualSortPredictionBatchRequest
+    ) -> PredictionBatchResult:
+        result = batch_request.result or PredictionBatchResult()
+        batch_request.result = None
+        result._batch_size = len(batch_request.batch)
+        for scene_id, observations in batch_request.batch.items():
+            obs_set = VisualSortObservationSet()
+            for o in observations:
+                obs_set.add(o)
+            tracks = self._inner.predict_with_scene(scene_id, obs_set)
+            result._push((scene_id, tracks))
+        return result
+
+    def skip_epochs(self, n: int):
+        self._inner.skip_epochs(n)
+
+    def skip_epochs_for_scene(self, scene_id: int, n: int):
+        self._inner.skip_epochs_for_scene(scene_id, n)
+
+    def current_epoch(self) -> int:
+        return self._inner.current_epoch()
+
+    def current_epoch_with_scene(self, scene_id: int) -> int:
+        return self._inner.current_epoch_with_scene(scene_id)
+
+    def wasted(self) -> List[WastedVisualSortTrack]:
+        return self._inner.wasted()
+
+    def clear_wasted(self):
+        self._inner.clear_wasted()
+
+    def idle_tracks(self, scene_id: int = 0) -> List[SortTrack]:
+        return self._inner.idle_tracks_with_scene(scene_id)
+
+    def idle_tracks_with_scene(self, scene_id: int) -> List[SortTrack]:
+        return self._inner.idle_tracks_with_scene(scene_id)
+
+    def shard_stats(self) -> List[int]:
+        return self._inner.shard_stats()

@@ -1,0 +1,70 @@
+"""Public Kalman wrapper API tests (parity with reference pyo3 demos)."""
+
+import numpy as np
+import pytest
+
+from similari_tpu import (
+    BoundingBox,
+    Point2DKalmanFilter,
+    Universal2DBox,
+    Universal2DBoxKalmanFilter,
+    Vec2DKalmanFilter,
+    cosine,
+    euclidean,
+)
+
+
+def test_box_filter_roundtrip():
+    f = Universal2DBoxKalmanFilter()
+    bbox = BoundingBox(1.0, 2.0, 5.0, 5.0)
+    state = f.initiate(bbox.as_xyaah())
+    assert state.bbox() == bbox
+
+
+def test_box_filter_step_golden():
+    f = Universal2DBoxKalmanFilter()
+    state = f.initiate(BoundingBox(-10.0, 2.0, 2.0, 5.0).as_xyaah())
+    state = f.predict(state)
+    assert state.universal_bbox() == Universal2DBox(-9.0, 4.5, None, 0.4, 5.0)
+    state = f.update(state, Universal2DBox(8.75, 52.35, None, 0.150_849_15, 100.1))
+    state = f.predict(state)
+    est = Universal2DBox(10.070248, 55.90909, None, 0.3951147, 107.173546)
+    assert state.universal_bbox() == est
+
+
+def test_box_filter_cost():
+    assert Universal2DBoxKalmanFilter.calculate_cost(5.0, False) == 5.0
+    assert Universal2DBoxKalmanFilter.calculate_cost(50.0, False) == 100.0
+    assert Universal2DBoxKalmanFilter.calculate_cost(5.0, True) == 95.0
+    assert Universal2DBoxKalmanFilter.calculate_cost(50.0, True) == 0.0
+
+
+def test_point_filter():
+    f = Point2DKalmanFilter()
+    s = f.initiate(1.0, 2.0)
+    s = f.predict(s)
+    assert s.x() == pytest.approx(1.0)
+    assert s.y() == pytest.approx(2.0)
+    s = f.update(s, 1.5, 2.5)
+    assert 1.0 < s.x() < 1.5
+    assert f.distance(s, 1.5, 2.5) >= 0.0
+
+
+def test_vec_filter():
+    f = Vec2DKalmanFilter()
+    states = f.initiate([(0.0, 0.0), (5.0, 5.0)])
+    states = f.predict(states)
+    states = f.update(states, [(0.1, 0.1), (5.1, 5.1)])
+    assert len(states) == 2
+    assert states[1].x() > 5.0
+    dists = f.distance(states, [(0.1, 0.1), (5.1, 5.1)])
+    costs = Vec2DKalmanFilter.calculate_cost(dists, False)
+    assert len(costs) == 2
+
+
+def test_distance_functions():
+    assert euclidean([1, 0, 0], [0, 1, 0]) == pytest.approx(np.sqrt(2), abs=1e-5)
+    assert euclidean([1, 0, 0], [1, 0, 0]) == pytest.approx(0.0, abs=1e-6)
+    assert cosine([1, 0, 0], [1, 0, 0]) == pytest.approx(1.0, abs=1e-5)
+    assert cosine([1, 0, 0], [-1, 0, 0]) == pytest.approx(-1.0, abs=1e-5)
+    assert cosine([1, 0, 0], [0, 1, 0]) == pytest.approx(0.0, abs=1e-6)
