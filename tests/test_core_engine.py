@@ -1,0 +1,303 @@
+"""Generic engine tests: Track, TrackStore, voting — mirroring the reference
+unit tests (`/root/reference/src/track.rs:659-1277`, `store/store_tests.rs`,
+`voting/topn.rs:139-279`)."""
+
+import numpy as np
+import pytest
+
+from similari_tpu.core import (
+    BestFitVoting,
+    IncompatibleAttributes,
+    NoopNotifier,
+    Observation,
+    ObservationBuilder,
+    ObservationMetricOk,
+    TopNVoting,
+    TopNVotingElt,
+    TrackStatus,
+    TrackStore,
+    TrackStoreBuilder,
+)
+from similari_tpu.core.examples import (
+    BBoxAttributes,
+    BBoxAttributesUpdate,
+    IOUMetric,
+    SetError,
+    SimpleAttributeUpdate,
+    SimpleAttrs,
+    SimpleMetric,
+    UnboundAttributeUpdate,
+    UnboundAttrs,
+    UnboundMetric,
+)
+from similari_tpu.utils.bbox import BoundingBox
+
+
+def make_store(shards=2):
+    return (
+        TrackStoreBuilder(shards)
+        .default_attributes(SimpleAttrs())
+        .metric(SimpleMetric())
+        .notifier(NoopNotifier())
+        .build()
+    )
+
+
+def test_track_add_observation_and_attrs():
+    store = make_store()
+    track = (
+        store.new_track(1)
+        .observation(
+            ObservationBuilder(0)
+            .observation_attributes(0.3)
+            .observation([1.0, 0.0, 0.0])
+            .track_attributes_update(SimpleAttributeUpdate())
+            .build()
+        )
+        .build()
+    )
+    assert track.get_track_id() == 1
+    assert track.attributes.set
+    assert len(track.get_observations(0)) == 1
+
+
+def test_attr_update_rollback():
+    """Transactional rollback parity (`track.rs:963-1104`): failed update must
+    leave the track unchanged."""
+    store = make_store()
+    track = (
+        store.new_track(1)
+        .observation(
+            ObservationBuilder(0)
+            .observation_attributes(0.3)
+            .observation([1.0, 0.0, 0.0])
+            .track_attributes_update(SimpleAttributeUpdate())
+            .build()
+        )
+        .build()
+    )
+    with pytest.raises(SetError):
+        track.add_observation(
+            0, 0.2, [0.0, 1.0, 0.0], SimpleAttributeUpdate()
+        )
+    # unchanged
+    assert len(track.get_observations(0)) == 1
+    assert track.attributes.set
+
+
+def test_distances_and_incompatibility():
+    store = make_store()
+
+    def mk(tid, attr, feat, update=True):
+        ob = ObservationBuilder(0).observation_attributes(attr).observation(feat)
+        if update:
+            ob = ob.track_attributes_update(SimpleAttributeUpdate())
+        return store.new_track(tid).observation(ob.build()).build()
+
+    t1 = mk(1, 0.3, [1.0, 0.0, 0.0])
+    t2 = mk(2, 0.4, [0.0, 1.0, 0.0])
+    dists = t1.distances(t2, 0)
+    assert len(dists) == 1
+    assert dists[0].attribute_metric == pytest.approx(0.1)
+    assert dists[0].feature_distance == pytest.approx(np.sqrt(2), abs=1e-5)
+
+    t3 = mk(3, 0.5, [0.0, 0.0, 1.0], update=False)  # attrs not set
+    with pytest.raises(IncompatibleAttributes):
+        t1.distances(t3, 0)
+
+
+def test_track_merge():
+    store = make_store()
+    t1 = (
+        store.new_track(1)
+        .observation(
+            ObservationBuilder(0)
+            .observation_attributes(0.3)
+            .observation([1.0, 0.0, 0.0])
+            .track_attributes_update(SimpleAttributeUpdate())
+            .build()
+        )
+        .build()
+    )
+    t2 = (
+        store.new_track(2)
+        .observation(
+            ObservationBuilder(0)
+            .observation_attributes(0.4)
+            .observation([0.0, 1.0, 0.0])
+            .track_attributes_update(SimpleAttributeUpdate())
+            .build()
+        )
+        .build()
+    )
+    t1.merge(t2, [0], True)
+    assert len(t1.get_observations(0)) == 2
+    assert 2 in t1.get_merge_history()
+
+
+def test_store_foreign_distances_and_usable():
+    store = make_store()
+    for tid, attr in ((1, 0.3), (2, 0.5), (3, 0.7)):
+        store.add_track(
+            store.new_track(tid)
+            .observation(
+                ObservationBuilder(0)
+                .observation_attributes(attr)
+                .observation([attr, 0.0, 0.0])
+                .track_attributes_update(SimpleAttributeUpdate())
+                .build()
+            )
+            .build()
+        )
+    cand = (
+        store.new_track(100)
+        .observation(
+            ObservationBuilder(0)
+            .observation_attributes(0.4)
+            .observation([0.4, 0.0, 0.0])
+            .track_attributes_update(SimpleAttributeUpdate())
+            .build()
+        )
+        .build()
+    )
+    dists, errs = store.foreign_track_distances([cand], 0, False)
+    assert errs == []
+    assert len(dists) == 3
+    assert {d.to_id for d in dists} == {1, 2, 3}
+
+    usable = store.find_usable()
+    assert len(usable) == 3
+    assert all(s == TrackStatus.Ready for _, s in usable)
+    assert sum(store.shard_stats()) == 3
+
+
+def test_store_merge_and_fetch():
+    store = make_store()
+    for tid, attr in ((1, 0.3), (2, 0.5)):
+        store.add_track(
+            store.new_track(tid)
+            .observation(
+                ObservationBuilder(0)
+                .observation_attributes(attr)
+                .observation([attr, 0.0, 0.0])
+                .track_attributes_update(SimpleAttributeUpdate())
+                .build()
+            )
+            .build()
+        )
+    store.merge_owned(1, 2)
+    assert store.get(2) is None
+    assert len(store.get(1).get_observations(0)) == 2
+    fetched = store.fetch_tracks([1])
+    assert len(fetched) == 1 and len(store) == 0
+
+
+def test_iou_metric_track():
+    store = (
+        TrackStoreBuilder(1)
+        .default_attributes(BBoxAttributes())
+        .metric(IOUMetric(history=3))
+        .notifier(NoopNotifier())
+        .build()
+    )
+    t1 = (
+        store.new_track(1)
+        .observation(
+            ObservationBuilder(0)
+            .observation_attributes(BoundingBox(0.0, 0.0, 5.0, 10.0))
+            .track_attributes_update(BBoxAttributesUpdate())
+            .build()
+        )
+        .build()
+    )
+    t2 = (
+        store.new_track(2)
+        .observation(
+            ObservationBuilder(0)
+            .observation_attributes(BoundingBox(0.3, 0.3, 5.1, 10.0))
+            .track_attributes_update(BBoxAttributesUpdate())
+            .build()
+        )
+        .build()
+    )
+    dists = t1.distances(t2, 0)
+    assert len(dists) == 1
+    assert dists[0].attribute_metric > 0.8
+
+
+def rec(f, t, d):
+    return ObservationMetricOk(f, t, None, d)
+
+
+def test_topn_voting_goldens():
+    """`voting/topn.rs:145-228` exact goldens."""
+    v = TopNVoting(5, 0.32, 1)
+
+    w = v.winners([rec(0, 1, 0.2)])
+    assert w == {0: [TopNVotingElt(0, 1, 0.0)]}
+
+    w = v.winners([rec(0, 1, 0.2), rec(0, 1, 0.3)])
+    assert w == {0: [TopNVotingElt(0, 1, 0.1)]}
+
+    # 0.4 fails the filter but still raises max_dist
+    w = v.winners([rec(0, 1, 0.2), rec(0, 1, 0.4)])
+    assert w == {0: [TopNVotingElt(0, 1, 0.2)]}
+
+    w = v.winners(
+        [
+            rec(0, 1, 0.2), rec(0, 1, 0.22),
+            rec(0, 2, 0.21), rec(0, 2, 0.2),
+            rec(0, 3, 0.22), rec(0, 3, 0.2),
+            rec(0, 4, 0.23), rec(0, 4, 0.3),
+            rec(0, 5, 0.24), rec(0, 5, 0.3),
+            rec(0, 6, 0.25), rec(0, 6, 0.5),
+        ]
+    )
+    got = sorted(w[0], key=lambda e: e.winner_track)
+    assert got == [
+        TopNVotingElt(0, 1, 0.58),
+        TopNVotingElt(0, 2, 0.59),
+        TopNVotingElt(0, 3, 0.58),
+        TopNVotingElt(0, 4, 0.47),
+        TopNVotingElt(0, 5, 0.46),
+    ]
+
+
+def test_topn_two_queries():
+    v = TopNVoting(5, 0.32, 1)
+    w = v.winners(
+        [
+            rec(0, 1, 0.2), rec(0, 1, 0.22),
+            rec(0, 2, 0.21), rec(0, 2, 0.2),
+            rec(0, 3, 0.22), rec(0, 3, 0.2),
+            rec(7, 4, 0.23), rec(7, 4, 0.3),
+            rec(7, 5, 0.24), rec(7, 5, 0.3),
+            rec(7, 6, 0.25), rec(7, 6, 0.5),
+        ]
+    )
+    got0 = sorted(w[0], key=lambda e: e.winner_track)
+    got7 = sorted(w[7], key=lambda e: e.winner_track)
+    assert got0 == [
+        TopNVotingElt(0, 1, 0.58),
+        TopNVotingElt(0, 2, 0.59),
+        TopNVotingElt(0, 3, 0.58),
+    ]
+    assert got7 == [
+        TopNVotingElt(7, 4, 0.47),
+        TopNVotingElt(7, 5, 0.46),
+        TopNVotingElt(7, 6, 0.25),
+    ]
+
+
+def test_best_fit_greedy_claim():
+    v = BestFitVoting(1.0, 1)
+    w = v.winners(
+        [
+            rec(10, 1, 0.1),  # weight 0.3
+            rec(20, 1, 0.2),  # weight 0.2 -> loses track 1 -> self
+            rec(20, 2, 0.4),  # weight 0.0
+        ]
+    )
+    assert w[10][0].winner_track == 1
+    # 20's best group (by weight) lost track 1 to 10 -> winner = self
+    assert w[20][0].winner_track == 20
