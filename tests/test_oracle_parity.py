@@ -1,0 +1,69 @@
+"""Property test: device SORT must reproduce the literal reference pipeline.
+
+The oracle (tests/reference_sort.py) follows the reference Rust code
+object-for-object with scipy Hungarian; the device tracker is the fused
+SoA/auction implementation.  On random detection streams both must assign
+identical track ids (up to rare f32 near-ties on dense scenes).
+"""
+
+import numpy as np
+import pytest
+
+from reference_sort import RefSort
+from similari_tpu.trackers import PositionalMetricType, Sort
+
+
+def run_stream(method, seed, n_objects, steps, density=200.0, drop_prob=0.0):
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(0, density, size=(n_objects, 2)).astype(np.float32)
+    wh = rng.uniform(20, 40, size=(n_objects, 2)).astype(np.float32)
+
+    dev = Sort(
+        shards=1,
+        bbox_history=1,
+        max_idle_epochs=5,
+        method=(
+            PositionalMetricType.iou(0.3)
+            if method == "iou"
+            else PositionalMetricType.maha()
+        ),
+        assignment_backend="hungarian",
+    )
+    ref = RefSort(method=method, max_idle_epochs=5)
+
+    mismatches = 0
+    total = 0
+    for step in range(steps):
+        xy += rng.uniform(-3, 3, size=xy.shape).astype(np.float32)
+        wh += rng.uniform(-0.3, 0.3, size=wh.shape).astype(np.float32)
+        keep = rng.uniform(size=n_objects) >= drop_prob
+        if not keep.any():
+            continue
+        boxes = np.zeros((int(keep.sum()), 5), np.float32)
+        boxes[:, 0] = xy[keep, 0]
+        boxes[:, 1] = xy[keep, 1]
+        boxes[:, 3] = wh[keep, 0] / wh[keep, 1]
+        boxes[:, 4] = wh[keep, 1]
+        confs = np.ones(boxes.shape[0], np.float32)
+
+        _, dev_ids, _, _, _ = dev.predict_arrays(0, boxes, confs)
+        ref_ids = ref.predict(boxes, confs)
+        total += len(boxes)
+        mismatches += int((dev_ids != ref_ids).sum())
+    return mismatches, total
+
+
+@pytest.mark.parametrize("method", ["iou", "maha"])
+@pytest.mark.parametrize("seed", [0, 1])
+def test_sparse_scene_exact(method, seed):
+    mism, total = run_stream(method, seed, n_objects=12, steps=12, density=400.0)
+    assert mism == 0, f"{mism}/{total} id mismatches"
+
+
+@pytest.mark.parametrize("method", ["iou", "maha"])
+def test_dense_scene_with_dropouts(method):
+    mism, total = run_stream(
+        method, seed=7, n_objects=30, steps=15, density=250.0, drop_prob=0.2
+    )
+    # near-ties may break differently in f32; must stay rare
+    assert mism <= 0.01 * total, f"{mism}/{total} id mismatches"
