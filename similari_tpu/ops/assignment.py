@@ -106,41 +106,32 @@ def _fixup_unassigned(row_to_col, col_to_row):
     return jnp.where(row_un, fill, row_to_col)
 
 
-@partial(jax.jit, static_argnames=("num_phases", "max_iters"))
+@partial(jax.jit, static_argnames=("max_iters",))
 def auction_lap(
     weights: jax.Array,
-    num_phases: int = 9,
-    max_iters: int = 5000,
+    max_iters: int = 3000,
 ) -> jax.Array:
     """Maximization LAP on weights[D, N] (N >= D). Returns col per row [D].
 
-    The rectangular problem is squared with zero-weight dummy rows (any
-    perfect completion adds the same dummy contribution, so the real rows'
-    optimum is preserved).  With a square matrix every column is assigned at
-    the end of each phase, so Bertsekas eps-scaling with price carryover is
-    sound: the final assignment satisfies eps-CS with a perfect matching and
-    is within n*eps_final of the optimum.
+    Single forward-auction phase from zero prices on the rectangular matrix.
+    This is provably within D*eps of the optimum (unassigned columns keep
+    their initial zero price, so the eps-CS duality bound applies directly),
+    and converges in a handful of Jacobi rounds on assignment matrices with
+    private fallback columns (the tracker's threshold diagonal): a loser's
+    second-best option is far away, so one bid jumps the price to its final
+    level instead of epsilon-crawling.  Measured: 2-10 rounds for both
+    tracking-shaped and dense random matrices, where classic eps-scaling with
+    dummy-row squaring needed >10k rounds (dummy-block price equalization).
     """
     d, n = weights.shape
     assert n >= d, "need at least as many columns as rows"
-    w = jnp.concatenate(
-        [weights, jnp.zeros((n - d, n), weights.dtype)], axis=0
-    ) if n > d else weights
     wmax = jnp.max(weights)
     wmin = jnp.minimum(jnp.min(weights), 0.0)
     span = jnp.maximum(wmax - wmin, 1e-6)
+    eps = span / max(4096.0, 64.0 * d)
     prices = jnp.zeros((n,), weights.dtype)
-
-    eps = span / 8.0
-    factor = 6.0
-    row_to_col = jnp.full((n,), -1, jnp.int32)
-    col_to_row = jnp.full((n,), -1, jnp.int32)
-    for _ in range(num_phases):
-        prices, row_to_col, col_to_row = _auction_phase(
-            prices, w, eps, max_iters
-        )
-        eps = eps / factor
-    return _fixup_unassigned(row_to_col, col_to_row)[:d]
+    _, row_to_col, col_to_row = _auction_phase(prices, weights, eps, max_iters)
+    return _fixup_unassigned(row_to_col, col_to_row)
 
 
 def _hungarian_np(weights: np.ndarray) -> np.ndarray:

@@ -1,0 +1,73 @@
+"""Metric implementation sanity + end-to-end tracking accuracy on synthetic MOT."""
+
+import numpy as np
+import pytest
+
+from similari_tpu.eval import (
+    clear_metrics,
+    generate_sequence,
+    identity_metrics,
+    run_sequence_device,
+)
+
+
+def test_metrics_perfect_on_identity():
+    gt, _ = generate_sequence(n_objects=8, n_frames=30, seed=1, p_miss=0.0,
+                              fp_per_frame=0.0)
+    clear = clear_metrics(gt, gt)
+    ident = identity_metrics(gt, gt)
+    assert clear["MOTA"] == pytest.approx(1.0)
+    assert clear["IDSW"] == 0
+    assert ident["IDF1"] == pytest.approx(1.0)
+
+
+def test_metrics_detect_id_switch():
+    gt = {
+        1: [(1, 0, 0, 10, 10), (2, 100, 0, 10, 10)],
+        2: [(1, 0, 0, 10, 10), (2, 100, 0, 10, 10)],
+        3: [(1, 0, 0, 10, 10), (2, 100, 0, 10, 10)],
+    }
+    pred = {
+        1: [(5, 0, 0, 10, 10), (6, 100, 0, 10, 10)],
+        2: [(5, 0, 0, 10, 10), (6, 100, 0, 10, 10)],
+        3: [(6, 0, 0, 10, 10), (5, 100, 0, 10, 10)],  # swap
+    }
+    clear = clear_metrics(gt, pred)
+    assert clear["IDSW"] == 2
+    assert clear["MOTA"] == pytest.approx(1.0 - 2 / 6)
+    ident = identity_metrics(gt, pred)
+    assert ident["IDF1"] == pytest.approx(4 / 6)
+
+
+def test_metrics_fp_fn():
+    gt = {1: [(1, 0, 0, 10, 10)]}
+    pred = {1: [(1, 0, 0, 10, 10), (2, 50, 50, 10, 10)]}
+    clear = clear_metrics(gt, pred)
+    assert clear["TP"] == 1 and clear["FP"] == 1 and clear["FN"] == 0
+
+
+@pytest.mark.parametrize("method", ["iou", "maha"])
+def test_synthetic_tracking_accuracy(method):
+    """Device tracker must achieve high MOTA/IDF1 on realistic synthetic data."""
+    gt, dets = generate_sequence(
+        n_objects=15, n_frames=60, seed=3, p_miss=0.05, fp_per_frame=0.3
+    )
+    pred, fps = run_sequence_device(dets, method=method, report_observed=True)
+    clear = clear_metrics(gt, pred)
+    ident = identity_metrics(gt, pred)
+    assert clear["MOTA"] > 0.85, clear
+    assert ident["IDF1"] > 0.8, ident
+    assert fps > 0
+
+
+def test_clean_detections_near_perfect():
+    gt, dets = generate_sequence(
+        n_objects=10, n_frames=40, seed=5, p_miss=0.0, fp_per_frame=0.0,
+        pos_noise=0.2, wh_noise=0.1,
+    )
+    pred, _ = run_sequence_device(dets, method="iou", report_observed=True)
+    clear = clear_metrics(gt, pred)
+    ident = identity_metrics(gt, pred)
+    assert clear["MOTA"] > 0.99, clear
+    assert clear["IDSW"] == 0
+    assert ident["IDF1"] > 0.99, ident
