@@ -2,8 +2,13 @@ from .mesh import (  # noqa: F401
     SCENE_AXIS,
     batched_sort_scan,
     batched_sort_step,
+    batched_visual_scan,
+    batched_visual_step,
     new_batched_state,
+    new_batched_visual_state,
     scene_mesh,
     shard_batched_state,
     sharded_sort_step,
+    sharded_visual_step,
 )
+from .gallery import global_gallery_query  # noqa: F401

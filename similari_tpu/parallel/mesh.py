@@ -21,6 +21,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..trackers.sort_step import SortConfig, sort_step
 from ..trackers.state import SortState, new_sort_state
+from ..trackers.visual_state import VisualState, new_visual_state
+from ..trackers.visual_step import VisualConfig, visual_step
 
 SCENE_AXIS = "scenes"
 
@@ -96,7 +98,69 @@ def batched_sort_scan(cfg: SortConfig):
     return scan_fn
 
 
-def shard_batched_state(state: SortState, mesh: Mesh) -> SortState:
+def shard_batched_state(state, mesh: Mesh):
     """Place a batched state with the scene axis sharded over the mesh."""
     sharding = NamedSharding(mesh, P(SCENE_AXIS))
     return jax.tree.map(lambda a: jax.device_put(a, sharding), state)
+
+
+# --------------------------------------------------------------------------
+# VisualSORT flavors
+# --------------------------------------------------------------------------
+
+def batched_visual_step(cfg: VisualConfig):
+    return jax.vmap(partial(visual_step, cfg))
+
+
+def new_batched_visual_state(
+    n_scenes: int, capacity: int, history: int, gallery: int, feature_dim: int
+) -> VisualState:
+    one = new_visual_state(capacity, history, gallery, feature_dim)
+    return jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (n_scenes,) + a.shape).copy(), one
+    )
+
+
+def batched_visual_scan(cfg: VisualConfig):
+    """Device pipeline over frames for a batch of scenes (VisualSORT).
+
+    stream shapes: box[S, SC, D, 5], conf/valid/fvalid/qual/oa[S, SC, D],
+    feat[S, SC, D, F], epochs0[SC].  Returns (states, (track_id, voting_type))
+    stacked [S, SC, D].
+    """
+    vstep = batched_visual_step(cfg)
+
+    def scan_fn(states, box, conf, valid, feat, fvalid, qual, oa, epochs0):
+        def body(st, inp):
+            b, c, v, fe, fv, q, o, i = inp
+            st, out = vstep(st, b, c, v, fe, fv, q, o, epochs0 + i)
+            return st, (out.track_id, out.voting_type)
+
+        steps = box.shape[0]
+        idx = jnp.arange(steps, dtype=jnp.int32)
+        return jax.lax.scan(
+            body, states, (box, conf, valid, feat, fvalid, qual, oa, idx)
+        )
+
+    return scan_fn
+
+
+def sharded_visual_step(cfg: VisualConfig, mesh: Mesh):
+    """shard_map'd VisualSORT batch step over the scene mesh (+psum stats)."""
+    vstep = batched_visual_step(cfg)
+
+    def local(state, box, conf, valid, feat, fvalid, qual, oa, epochs):
+        state, out = vstep(state, box, conf, valid, feat, fvalid, qual, oa, epochs)
+        new_tracks = jax.lax.psum(
+            jnp.sum(out.is_new.astype(jnp.int32)), SCENE_AXIS
+        )
+        return state, out, new_tracks
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(SCENE_AXIS),) * 9,
+        out_specs=(P(SCENE_AXIS), P(SCENE_AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
