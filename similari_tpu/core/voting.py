@@ -74,6 +74,59 @@ class TopNVoting(Voting):
         return dict(results)
 
 
+class SortVoting(Voting):
+    """Hungarian voting on the augmented candidate matrix.
+
+    Standalone equivalent of `src/trackers/sort/voting.rs:11-101` (the SORT
+    trackers run this fused on device; this class serves the generic engine).
+    winners: {candidate_id: [winner_id]}; winner == candidate means new track.
+    """
+
+    def __init__(self, threshold: float, candidates_num: int, tracks_num: int):
+        self.threshold = threshold
+        self.candidates_num = candidates_num
+        self.tracks_num = tracks_num
+
+    def winners(self, distances) -> Dict[int, List[int]]:
+        import numpy as np
+        from scipy.optimize import linear_sum_assignment
+
+        if self.tracks_num == 0:
+            return {}
+        records = list(distances)
+        cand_ids: List[int] = []
+        cand_idx: Dict[int, int] = {}
+        track_idx: Dict[int, int] = {}
+        track_ids: List[int] = []
+        for r in records:
+            if r.from_id not in cand_idx:
+                cand_idx[r.from_id] = len(cand_ids)
+                cand_ids.append(r.from_id)
+            if r.to_id not in track_idx:
+                track_idx[r.to_id] = len(track_ids)
+                track_ids.append(r.to_id)
+        d = self.candidates_num
+        t = len(track_ids)
+        W = np.zeros((d, d + t), np.float64)
+        for i in range(d):
+            W[i, i] = self.threshold
+        for r in records:
+            W[cand_idx[r.from_id], d + track_idx[r.to_id]] = (
+                r.attribute_metric or 0.0
+            )
+        rows, cols = linear_sum_assignment(W, maximize=True)
+        out: Dict[int, List[int]] = {}
+        for i, c in zip(rows, cols):
+            if i >= len(cand_ids):
+                continue
+            src = cand_ids[i]
+            if c >= d:
+                out[src] = [track_ids[c - d]]
+            else:
+                out[src] = [src]
+        return out
+
+
 class BestFitVoting(Voting):
     """Greedy global claim, `voting/best.rs:18-128`: losers get winner=self."""
 

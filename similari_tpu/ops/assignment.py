@@ -159,12 +159,34 @@ def hungarian_host(weights: jax.Array) -> jax.Array:
     )
 
 
+def _native_np(weights: np.ndarray) -> np.ndarray:
+    from .. import native
+
+    return native.lap_max(weights)
+
+
+def native_host(weights: jax.Array) -> jax.Array:
+    """Exact C++ JV solver via host callback (single-host paths)."""
+    d = weights.shape[0]
+    return jax.pure_callback(
+        _native_np,
+        jax.ShapeDtypeStruct((d,), jnp.int32),
+        weights,
+        vmap_method="sequential",
+    )
+
+
 def resolve_backend(backend: str) -> str:
-    """'auto' -> exact host Hungarian on CPU, device auction on accelerators
-    (the axon TPU PJRT backend does not support host callbacks)."""
+    """'auto' -> exact host solver on CPU (native C++ if built, else scipy),
+    device auction on accelerators (the axon TPU PJRT backend does not
+    support host callbacks)."""
     if backend != "auto":
         return backend
-    return "hungarian" if jax.default_backend() == "cpu" else "auction"
+    if jax.default_backend() != "cpu":
+        return "auction"
+    from .. import native as _native
+
+    return "native" if _native.available() else "hungarian"
 
 
 def solve_lap(weights: jax.Array, backend: str = "auction") -> jax.Array:
@@ -172,6 +194,8 @@ def solve_lap(weights: jax.Array, backend: str = "auction") -> jax.Array:
         return auction_lap(weights)
     if backend == "hungarian":
         return hungarian_host(weights)
+    if backend == "native":
+        return native_host(weights)
     raise ValueError(f"unknown assignment backend: {backend}")
 
 
