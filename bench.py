@@ -52,7 +52,7 @@ def bench_sort_scan(method: str, n_objects: int, steps=128, reps=5):
     from similari_tpu.trackers.sort_step import SortConfig, compiled_sort_scan
     from similari_tpu.trackers.state import new_sort_state
 
-    cfg = SortConfig(method=method, assignment="auction", max_idle_epochs=5)
+    cfg = SortConfig(method=method, assignment="auction", max_idle_epochs=5, oriented=False)
     scan = compiled_sort_scan(cfg)
     stream = jnp.asarray(box_stream(steps, n_objects))
     conf = jnp.ones((steps, n_objects), jnp.float32)
@@ -78,7 +78,7 @@ def bench_batch_sort_scan(n_scenes=64, n_objects=100, steps=32, reps=3):
     from similari_tpu.parallel import batched_sort_scan, new_batched_state
     from similari_tpu.trackers.sort_step import SortConfig
 
-    cfg = SortConfig(method="iou", assignment="auction", max_idle_epochs=5)
+    cfg = SortConfig(method="iou", assignment="auction", max_idle_epochs=5, oriented=False)
     scan = jax.jit(batched_sort_scan(cfg), donate_argnums=(0,))
     flat = box_stream(steps, n_scenes * n_objects)
     stream = jnp.asarray(flat.reshape(steps, n_scenes, n_objects, 5))
@@ -119,6 +119,8 @@ def bench_visual_scan(n_objects=100, feat_dim=512, gallery=3, steps=64, reps=3):
         visual_minimal_track_length=3,
         max_idle_epochs=5,
         assignment="auction",
+        oriented=False,
+        feature_precision="bf16",
     )
     scan = compiled_visual_scan(cfg)
     rng = np.random.default_rng(0)
@@ -159,6 +161,8 @@ def bench_batch_visual_scan(
         visual_minimal_track_length=3,
         max_idle_epochs=5,
         assignment="auction",
+        oriented=False,
+        feature_precision="bf16",
     )
     scan = jax.jit(batched_visual_scan(cfg), donate_argnums=(0,))
     rng = np.random.default_rng(0)

@@ -123,6 +123,7 @@ def run_sequence_device(
         iou_threshold=iou_threshold,
         max_idle_epochs=max_idle_epochs,
         assignment="auction",
+        oriented=False,  # MOT data is axis-aligned LTWH
     )
     scan = compiled_sort_scan(cfg)
     state = new_sort_state(capacity, 1)

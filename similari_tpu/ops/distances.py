@@ -16,10 +16,16 @@ import jax.numpy as jnp
 
 
 def euclidean_matrix(q: jax.Array, g: jax.Array) -> jax.Array:
-    """q[D,F] x g[...,F] -> [D, ...] euclidean distances (sqrt of ssd)."""
+    """q[D,F] x g[...,F] -> [D, ...] euclidean distances (sqrt of ssd).
+
+    bf16 inputs run the dot on the MXU at double rate; norms always accumulate
+    in f32 (bf16 long-sum accumulation would dominate the error).
+    """
     gt = g.reshape(-1, g.shape[-1])
-    qn = jnp.sum(q * q, axis=-1)  # [D]
-    gn = jnp.sum(gt * gt, axis=-1)  # [G]
+    qf = q.astype(jnp.float32)
+    gf = gt.astype(jnp.float32)
+    qn = jnp.sum(qf * qf, axis=-1)  # [D]
+    gn = jnp.sum(gf * gf, axis=-1)  # [G]
     dot = jnp.dot(q, gt.T, preferred_element_type=jnp.float32)  # [D, G]
     d2 = jnp.maximum(qn[:, None] + gn[None, :] - 2.0 * dot, 0.0)
     return jnp.sqrt(d2).reshape((q.shape[0],) + g.shape[:-1])
@@ -29,8 +35,10 @@ def cosine_matrix(q: jax.Array, g: jax.Array) -> jax.Array:
     """Cosine *similarity* per `distance.rs:26-47` (not 1-cos)."""
     gt = g.reshape(-1, g.shape[-1])
     dot = jnp.dot(q, gt.T, preferred_element_type=jnp.float32)
-    qn = jnp.sqrt(jnp.sum(q * q, axis=-1))
-    gn = jnp.sqrt(jnp.sum(gt * gt, axis=-1))
+    qf = q.astype(jnp.float32)
+    gf = gt.astype(jnp.float32)
+    qn = jnp.sqrt(jnp.sum(qf * qf, axis=-1))
+    gn = jnp.sqrt(jnp.sum(gf * gf, axis=-1))
     denom = qn[:, None] * gn[None, :]
     sim = dot / jnp.where(denom > 0, denom, 1.0)
     return sim.reshape((q.shape[0],) + g.shape[:-1])

@@ -189,22 +189,43 @@ def rotated_intersection(a: jax.Array, b: jax.Array) -> jax.Array:
     return jnp.where(too_far(a, b), 0.0, area)
 
 
-def universal_iou(a: jax.Array, b: jax.Array):
+def aligned_intersection(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Axis-aligned intersection for (xc, yc, _, aspect, h) boxes [..., 5].
+
+    Only valid when both angles are 0 — the callers gate on a *static*
+    all-axis-aligned flag, never on per-pair angle equality (the reference's
+    removed shortcut compared normalized angles and broke on equal nonzero
+    angles, bug #84; both-zero is exact).
+    """
+    aw = a[..., 3] * a[..., 4]
+    bw = b[..., 3] * b[..., 4]
+    iw = (
+        jnp.minimum(a[..., 0] + aw * 0.5, b[..., 0] + bw * 0.5)
+        - jnp.maximum(a[..., 0] - aw * 0.5, b[..., 0] - bw * 0.5)
+    )
+    ih = (
+        jnp.minimum(a[..., 1] + a[..., 4] * 0.5, b[..., 1] + b[..., 4] * 0.5)
+        - jnp.maximum(a[..., 1] - a[..., 4] * 0.5, b[..., 1] - b[..., 4] * 0.5)
+    )
+    return jnp.where((iw > 0.0) & (ih > 0.0), iw * ih, 0.0)
+
+
+def universal_iou(a: jax.Array, b: jax.Array, oriented: bool = True):
     """IoU of Universal2DBoxes per `bbox.rs:512-535`.
 
     Returns (iou, valid) — valid is False where the intersection is 0 (the
     reference yields metric None there).
     """
-    inter = rotated_intersection(a, b)
+    inter = rotated_intersection(a, b) if oriented else aligned_intersection(a, b)
     union = box_area(a) + box_area(b) - inter
     valid = inter > 0.0
     iou = jnp.where(valid, inter / jnp.where(valid, union, 1.0), 0.0)
     return iou, valid
 
 
-def universal_iou_matrix(a: jax.Array, b: jax.Array):
+def universal_iou_matrix(a: jax.Array, b: jax.Array, oriented: bool = True):
     """Pairwise IoU: a[D,5] x b[T,5] -> (iou[D,T], valid[D,T])."""
-    return universal_iou(a[:, None, :], b[None, :, :])
+    return universal_iou(a[:, None, :], b[None, :, :], oriented)
 
 
 def aligned_intersection_ltwh(a: jax.Array, b: jax.Array) -> jax.Array:

@@ -113,6 +113,7 @@ class _SceneStore:
         self.custom_ids = np.full((capacity,), -1, np.int64)
         self.has_custom = np.zeros((capacity,), bool)
         self.active_count = 0
+        self.oriented = False  # sticky: flips when a rotated box is seen
 
     def grow(self, min_capacity: int):
         cap = self.state.capacity
@@ -175,7 +176,11 @@ class Sort:
         self._wasted_bin: List[WastedSortTrack] = []
         self._auto_waste_counter = DEFAULT_AUTO_WASTE_PERIODICITY
         self._next_track_id = 0  # global like the reference's Sort.track_id
-        self._step = compiled_sort_step(self._cfg)
+
+    def _step_for(self, oriented: bool):
+        return compiled_sort_step(
+            dataclasses.replace(self._cfg, oriented=oriented)
+        )
 
     # ------------------------------------------------------------------ epochs
     def _next_epoch(self, scene_id: int) -> int:
@@ -273,11 +278,12 @@ class Sort:
 
         store = self._get_store(scene_id)
         store.grow(store.active_count + d)
+        store.oriented = store.oriented or bool((det_box[:, 2] != 0).any())
         store.state = dataclasses.replace(
             store.state, next_id=jnp.int32(self._next_track_id)
         )
 
-        state, out = self._step(
+        state, out = self._step_for(store.oriented)(
             store.state,
             jnp.asarray(box),
             jnp.asarray(conf),

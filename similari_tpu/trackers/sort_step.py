@@ -59,6 +59,11 @@ class SortConfig:
     position_weight: float = kal.DEFAULT_POSITION_WEIGHT
     velocity_weight: float = kal.DEFAULT_VELOCITY_WEIGHT
     assignment: str = "auto"  # "hungarian" (host exact) | "auction" (device)
+    # static oriented-box flag: False uses the exact axis-aligned IoU kernel
+    # (~10 ops/pair) instead of the general Sutherland-Hodgman clip
+    # (~700 ops/pair); the Sort API flips it automatically when a rotated
+    # box is first seen in a scene.
+    oriented: bool = True
 
     @property
     def new_track_threshold(self) -> float:
@@ -105,7 +110,9 @@ def distance_weights(
 
     conf = jnp.maximum(det_conf, cfg.min_confidence)  # [D]
     if cfg.method == "iou":
-        iou, valid = geo.universal_iou_matrix(det_box, state.pred_box)
+        iou, valid = geo.universal_iou_matrix(
+            det_box, state.pred_box, cfg.oriented
+        )
         m = iou * conf[:, None]
         valid = valid & (m >= cfg.iou_threshold)
         return jnp.where(compat & valid, m, 0.0)

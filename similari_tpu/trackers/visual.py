@@ -231,6 +231,7 @@ class _VisualSceneStore:
         self.custom_ids = np.full((capacity,), -1, np.int64)
         self.has_custom = np.zeros((capacity,), bool)
         self.active_count = 0
+        self.oriented = False  # sticky: flips when a rotated box is seen
 
     def grow(self, min_capacity: int):
         cap = self.state.capacity
@@ -282,7 +283,11 @@ class VisualSort:
         self._wasted_bin: List[WastedVisualSortTrack] = []
         self._auto_waste_counter = DEFAULT_AUTO_WASTE_PERIODICITY
         self._next_track_id = 0
-        self._step = compiled_visual_step(self._cfg)
+
+    def _step_for(self, oriented: bool):
+        return compiled_visual_step(
+            dataclasses.replace(self._cfg, oriented=oriented)
+        )
 
     # ---------------------------------------------------------------- epochs
     def _next_epoch(self, scene_id: int) -> int:
@@ -364,11 +369,12 @@ class VisualSort:
 
         store = self._get_store(scene_id)
         store.grow(store.active_count + d)
+        store.oriented = store.oriented or bool((box[:d, 2] != 0).any())
         store.state = dataclasses.replace(
             store.state, next_id=jnp.int32(self._next_track_id)
         )
 
-        state, out = self._step(
+        state, out = self._step_for(store.oriented)(
             store.state,
             jnp.asarray(box),
             jnp.asarray(conf),

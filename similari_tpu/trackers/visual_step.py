@@ -63,6 +63,12 @@ class VisualConfig:
     position_weight: float = kal.DEFAULT_POSITION_WEIGHT
     velocity_weight: float = kal.DEFAULT_VELOCITY_WEIGHT
     assignment: str = "auto"
+    # matmul precision for gallery feature distances: "f32" | "bf16".
+    # bf16 doubles MXU throughput; distances shift by ~1e-3 relative, which
+    # only affects exact near-ties against the visual thresholds.
+    feature_precision: str = "f32"
+    # static oriented-box flag (see SortConfig.oriented)
+    oriented: bool = True
 
     @property
     def new_track_threshold(self) -> float:
@@ -105,7 +111,9 @@ def positional_weights(cfg, state, det_box, det_conf, compat):
     """[D,T] positional metric + validity (`visual_sort/metric.rs:156-198`)."""
     conf = jnp.maximum(det_conf, cfg.positional_min_confidence)
     if cfg.positional_kind == "iou":
-        iou, valid = geo.universal_iou_matrix(det_box, state.pred_box)
+        iou, valid = geo.universal_iou_matrix(
+            det_box, state.pred_box, cfg.oriented
+        )
         m = iou * conf[:, None]
         valid = valid & (m >= cfg.iou_threshold) & compat
         return jnp.where(valid, m, 0.0), valid
@@ -124,12 +132,17 @@ def visual_votes(cfg, state, det_feat, det_gate, compat):
     metric-passed gallery entries (`voting/best.rs:52-104` with the
     f32::MAX voting threshold the tracker passes, `simple_api.rs:179-186`).
     """
+    q = det_feat
+    g = state.feats
+    if cfg.feature_precision == "bf16":
+        q = q.astype(jnp.bfloat16)
+        g = g.astype(jnp.bfloat16)
     if cfg.visual_kind == "euclidean":
-        dmat = dst.euclidean_matrix(det_feat, state.feats)  # [D,T,K]
+        dmat = dst.euclidean_matrix(q, g)  # [D,T,K]
         ok = dmat <= cfg.visual_threshold
         w = dmat
     else:
-        sim = dst.cosine_matrix(det_feat, state.feats)
+        sim = dst.cosine_matrix(q, g)
         ok = sim >= cfg.visual_threshold
         w = 1.0 - sim
 

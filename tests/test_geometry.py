@@ -136,3 +136,18 @@ def test_containment():
     small = vec5(0.0, 0.0, 1.2, 1.0, 2.0)
     inter = float(G.rotated_intersection(big, small))
     assert abs(inter - float(G.box_area(small))) < 1e-3
+
+
+def test_aligned_kernel_matches_general_clip():
+    """aligned_intersection must equal the SH clip for angle-0 boxes."""
+    rng = np.random.default_rng(9)
+    a = np.zeros((32, 5), np.float32)
+    b = np.zeros((32, 5), np.float32)
+    for arr in (a, b):
+        arr[:, 0] = rng.uniform(0, 100, 32)
+        arr[:, 1] = rng.uniform(0, 100, 32)
+        arr[:, 3] = rng.uniform(0.3, 2.0, 32)
+        arr[:, 4] = rng.uniform(5, 30, 32)
+    ref = np.asarray(G.rotated_intersection(jnp.asarray(a), jnp.asarray(b)))
+    fast = np.asarray(G.aligned_intersection(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(fast, ref, rtol=1e-4, atol=1e-3)
