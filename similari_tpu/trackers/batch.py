@@ -74,7 +74,13 @@ class SortPredictionBatchRequest:
 
 
 class BatchSort:
-    """Multi-scene SORT (`sort/batch_api.rs:35-317`)."""
+    """Multi-scene SORT (`sort/batch_api.rs:35-317`).
+
+    Backed by the persistent device-batched engine: every scene is a row of
+    one batched SoA state, and a whole request dispatches as a single
+    vmapped device step (the TPU equivalent of the reference's voting worker
+    threads).
+    """
 
     def __init__(
         self,
@@ -87,56 +93,83 @@ class BatchSort:
         spatio_temporal_constraints: Optional[SpatioTemporalConstraints] = None,
         kalman_position_weight: float = 1.0 / 20.0,
         kalman_velocity_weight: float = 1.0 / 160.0,
-        **kw,
+        *,
+        initial_capacity: int = 128,
+        assignment_backend: str = "auto",
     ):
-        self._inner = Sort(
-            shards=distance_shards,
-            bbox_history=bbox_history,
-            max_idle_epochs=max_idle_epochs,
-            method=method,
+        from .batch_device import SceneBatchEngine
+        from .sort_step import SortConfig
+
+        assert bbox_history > 0
+        method = method or PositionalMetricType.maha()
+        stc = spatio_temporal_constraints or SpatioTemporalConstraints()
+        cfg = SortConfig(
+            method=method.kind,
+            iou_threshold=method.threshold or 0.3,
             min_confidence=min_confidence,
-            spatio_temporal_constraints=spatio_temporal_constraints,
-            kalman_position_weight=kalman_position_weight,
-            kalman_velocity_weight=kalman_velocity_weight,
-            **kw,
+            max_idle_epochs=max_idle_epochs,
+            constraints=stc.as_tuple(),
+            position_weight=kalman_position_weight,
+            velocity_weight=kalman_velocity_weight,
+            assignment=assignment_backend,
         )
+        self._engine = SceneBatchEngine(
+            cfg, bbox_history, capacity=initial_capacity
+        )
+        self._wasted_bin: List[WastedSortTrack] = []
+        self._auto_waste_counter = 100
 
     def predict(self, batch_request: SortPredictionBatchRequest) -> PredictionBatchResult:
+        if self._auto_waste_counter == 0:
+            self._auto_waste()
+            self._auto_waste_counter = 100
+        else:
+            self._auto_waste_counter -= 1
         result = batch_request.result or PredictionBatchResult()
         batch_request.result = None
         result._batch_size = len(batch_request.batch)
-        for scene_id, bboxes in batch_request.batch.items():
-            tracks = self._inner.predict_with_scene(scene_id, bboxes)
+        for scene_id, tracks in self._engine.predict_scenes(
+            batch_request.batch
+        ).items():
             result._push((scene_id, tracks))
         return result
 
-    # lifecycle passthrough -------------------------------------------------
+    # lifecycle -------------------------------------------------------------
+    def _auto_waste(self):
+        self._wasted_bin.extend(self._engine.collect_wasted())
+
     def skip_epochs(self, n: int):
-        self._inner.skip_epochs(n)
+        self.skip_epochs_for_scene(0, n)
 
     def skip_epochs_for_scene(self, scene_id: int, n: int):
-        self._inner.skip_epochs_for_scene(scene_id, n)
+        self._engine.epochs[scene_id] = (
+            self._engine.epochs.get(scene_id, 0) + n
+        )
+        self._auto_waste()
 
     def current_epoch(self) -> int:
-        return self._inner.current_epoch()
+        return self.current_epoch_with_scene(0)
 
     def current_epoch_with_scene(self, scene_id: int) -> int:
-        return self._inner.current_epoch_with_scene(scene_id)
+        return self._engine.epochs.get(scene_id, 0)
 
     def wasted(self) -> List[WastedSortTrack]:
-        return self._inner.wasted()
+        self._auto_waste()
+        out = self._wasted_bin
+        self._wasted_bin = []
+        return out
 
     def clear_wasted(self):
-        self._inner.clear_wasted()
+        self._wasted_bin = []
 
     def idle_tracks(self, scene_id: int = 0) -> List[SortTrack]:
-        return self._inner.idle_tracks_with_scene(scene_id)
+        return self._engine.idle_tracks(scene_id)
 
     def idle_tracks_with_scene(self, scene_id: int) -> List[SortTrack]:
-        return self._inner.idle_tracks_with_scene(scene_id)
+        return self._engine.idle_tracks(scene_id)
 
     def shard_stats(self) -> List[int]:
-        return self._inner.shard_stats()
+        return [self._engine.total_active()]
 
 
 class VisualSortPredictionBatchRequest:

@@ -82,3 +82,55 @@ def test_batch_visual_sort():
     bvs.skip_epochs_for_scene(7, 10)
     wasted = bvs.wasted()
     assert len(wasted) == 1
+
+
+def test_batch_sort_many_scenes_single_dispatch():
+    """Persistent batched engine: ids unique across scenes, tracks stable."""
+    bs = BatchSort(method=PositionalMetricType.iou(0.3), max_idle_epochs=3)
+    all_ids = {}
+    for step in range(5):
+        req = SortPredictionBatchRequest()
+        for scene in range(12):
+            for obj in range(3):
+                req.add(
+                    scene,
+                    BoundingBox(
+                        200.0 * obj + step * 0.2, 50.0 * scene, 10.0, 20.0
+                    ).as_xyaah(),
+                    obj,
+                )
+        res = bs.predict(req)
+        seen = set()
+        while res.ready():
+            scene_id, tracks = res.get()
+            for t in tracks:
+                assert t.id not in seen  # unique within the step
+                seen.add(t.id)
+                key = (scene_id, t.custom_object_id)
+                if step == 0:
+                    all_ids[key] = t.id
+                else:
+                    assert all_ids[key] == t.id, key
+    assert bs.shard_stats()[0] == 36
+
+
+def test_batch_sort_waste_and_idle():
+    bs = BatchSort(method=PositionalMetricType.iou(0.3), max_idle_epochs=1)
+    req = SortPredictionBatchRequest()
+    req.add(3, BoundingBox(0.0, 0.0, 10.0, 20.0).as_xyaah(), 9)
+    bs.predict(req)
+    assert bs.idle_tracks_with_scene(3) == []
+    # scene 3 idles while scene 4 advances
+    req = SortPredictionBatchRequest()
+    req.add(4, BoundingBox(500.0, 0.0, 10.0, 20.0).as_xyaah(), 10)
+    bs.predict(req)
+    req = SortPredictionBatchRequest()
+    req.add(3, BoundingBox(0.0, 0.0, 10.0, 20.0).as_xyaah(), 9)
+    req.add(4, BoundingBox(500.0, 0.0, 10.0, 20.0).as_xyaah(), 10)
+    res = bs.predict(req)
+    got = dict(res.get() for _ in range(2))
+    assert got[3][0].custom_object_id == 9
+    assert got[3][0].length == 2  # scene-3 track survived its 1-epoch gap... 
+    bs.skip_epochs_for_scene(3, 5)
+    wasted = bs.wasted()
+    assert any(w.scene_id == 3 for w in wasted)
