@@ -1,0 +1,417 @@
+"""Pallas tracker-on-chip: the whole SORT step fused into one TPU kernel.
+
+The XLA path (`trackers/sort_step.py`) compiles each prediction step into
+~10 fused sub-computations; per scan iteration the remaining overhead is
+buffer traffic between them.  This kernel keeps the *entire tracker state in
+VMEM* and runs a chunk of C frames per `pallas_call`: weights matrix, auction
+assignment, slot allocation, Kalman update and state scatter all happen
+in-register/VMEM with no HBM round-trips inside the chunk.
+
+Scope (the production online-MOT configuration):
+  * method = IoU on axis-aligned boxes (the `oriented=False` fast path)
+  * no spatio-temporal constraints, history depth 1
+
+Scatter/gather by track slot is expressed as one-hot matmuls (MXU) instead of
+dynamic stores — `state[slot[d]] = v[d]` becomes `onehotᵀ @ v` — which is both
+vectorization-friendly and exactly the masked-update semantics of the XLA
+step.
+
+Numerical parity with `sort_step` is property-tested (same ids, same state)
+in interpret mode on CPU and compiled on TPU.
+
+Measured outcome (v5e, 128 dets x 256 tracks, 128-frame scan): 429k FPS vs
+457k FPS for the XLA scan — XLA's fusion already runs this workload at
+hardware efficiency, so the fused kernel is kept as a tested alternative
+path and a base for future multi-chip RDMA variants, not the default.
+Engineering notes (incl. the Mosaic bool-lane-broadcast pitfall and the
+VMEM-limit compiler abort) are in ARCHITECTURE.md.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..trackers.sort_step import SortConfig
+from ..trackers.state import SortState
+
+NEG = -1e30
+
+
+def _row_argmax(values):
+    """(max, argmax) along axis 1 without relying on argmax lowering."""
+    m = jnp.max(values, axis=1, keepdims=True)  # [R,1]
+    n = values.shape[1]
+    col = jax.lax.broadcasted_iota(jnp.int32, values.shape, 1)
+    idx = jnp.min(jnp.where(values >= m, col, n), axis=1)  # first max
+    return m[:, 0], idx
+
+
+def _cumsum_rows(x):
+    """Inclusive cumsum along a [1, N] row via lower-triangular matmul."""
+    n = x.shape[1]
+    r = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    c = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    tri = (r <= c).astype(jnp.float32)  # upper-tri: out[j] = sum_{i<=j} x[i]
+    return jnp.dot(x.astype(jnp.float32), tri, preferred_element_type=jnp.float32)
+
+
+def _kernel(cfg: SortConfig, c_frames: int,
+            # inputs (VMEM): stream chunk + state (aliased to outputs)
+            box_ref, conf_ref, valid_ref, epoch_ref,
+            mp_ref, mv_ref, cpp_ref, cpv_ref, cvv_ref,
+            pred_ref, obs_ref, tconf_ref,
+            active_ref, last_ref, length_ref, tid_ref, nid_ref,
+            # outputs
+            o_mp, o_mv, o_cpp, o_cpv, o_cvv, o_pred, o_obs, o_tconf,
+            o_active, o_last, o_length, o_tid, o_nid,
+            out_ids, out_slots, out_pred):
+    d = box_ref.shape[1]
+    t = pred_ref.shape[0]
+    pw, vw = cfg.position_weight, cfg.velocity_weight
+    thr = cfg.iou_threshold
+
+    # copy state into the output refs; the frame loop then updates in place
+    for src, dst in ((mp_ref, o_mp), (mv_ref, o_mv), (cpp_ref, o_cpp),
+                     (cpv_ref, o_cpv), (cvv_ref, o_cvv), (pred_ref, o_pred),
+                     (obs_ref, o_obs), (tconf_ref, o_tconf),
+                     (active_ref, o_active), (last_ref, o_last),
+                     (length_ref, o_length), (tid_ref, o_tid)):
+        dst[...] = src[...]
+    o_nid[0, 0] = nid_ref[0, 0]  # scalar copy (SMEM)
+
+    lane5 = jax.lax.broadcasted_iota(jnp.int32, (1, 5), 1)[0]
+    cvec = (lane5 == 3).astype(jnp.float32)  # aspect slot uses constant noise
+    wvec = 1.0 - cvec
+
+    def std2(k, cnst, h):
+        s = k * pw * h[:, None] * wvec[None, :] + cnst * cvec[None, :]
+        return s * s
+
+    def stdv2(k, cnst, h):
+        s = k * vw * h[:, None] * wvec[None, :] + cnst * cvec[None, :]
+        return s * s
+
+    def frame(s, _):
+        box = box_ref[s]          # [D,5]
+        conf = conf_ref[s]        # [D]
+        valid_row = valid_ref[s]   # [D] int32
+        dvalid = valid_row > 0     # [D]
+        # NOTE: Mosaic cannot lane-broadcast 1-D bools (boolvec[:, None]
+        # crashes the compiler); all 2-D masks below broadcast the int/float
+        # source first and compare after.
+        epoch = epoch_ref[0, 0] + s
+
+        active = o_active[...] > 0           # [T]
+        pred = o_pred[...]                   # [T,5]
+        last = o_last[...]                   # [T]
+
+        # ---- weights: aligned IoU x conf with compat gating -------------
+        compat = active & ((epoch - last) <= cfg.max_idle_epochs)
+        aw = box[:, 3] * box[:, 4]
+        tw = pred[:, 3] * pred[:, 4]
+        ix = (
+            jnp.minimum(box[:, 0:1] + aw[:, None] * 0.5,
+                        (pred[:, 0] + tw * 0.5)[None, :])
+            - jnp.maximum(box[:, 0:1] - aw[:, None] * 0.5,
+                          (pred[:, 0] - tw * 0.5)[None, :])
+        )
+        iy = (
+            jnp.minimum(box[:, 1:2] + box[:, 4:5] * 0.5,
+                        (pred[:, 1] + pred[:, 4] * 0.5)[None, :])
+            - jnp.maximum(box[:, 1:2] - box[:, 4:5] * 0.5,
+                          (pred[:, 1] - pred[:, 4] * 0.5)[None, :])
+        )
+        inter = jnp.where((ix > 0) & (iy > 0), ix * iy, 0.0)  # [D,T]
+        union = (aw * box[:, 4])[:, None] + (tw * pred[:, 4])[None, :] - inter
+        iou = inter / jnp.where(inter > 0, union, 1.0)
+        cc = jnp.maximum(conf, cfg.min_confidence)
+        m = iou * cc[:, None]
+        W = jnp.where(
+            compat[None, :] & (inter > 0) & (m >= thr), m, 0.0
+        )  # [D,T]
+
+        # ---- augmented matrix + forward auction -------------------------
+        dcol = jax.lax.broadcasted_iota(jnp.int32, (d, d), 1)
+        drow = jax.lax.broadcasted_iota(jnp.int32, (d, d), 0)
+        diag = jnp.where((dcol == drow) & (valid_row[:, None] > 0), thr, 0.0)
+        A = jnp.concatenate([diag, W], axis=1)  # [D, D+T]
+        n = d + t
+        span = jnp.maximum(jnp.max(A), 1e-6)
+        eps = span / max(4096.0, 64.0 * d)
+
+        def bid_round(carry):
+            it, prices, r2c, c2r = carry
+            un = r2c < 0
+            values = A - prices  # [D,N]
+            v1, jbest = _row_argmax(values)
+            masked = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, (d, n), 1) == jbest[:, None],
+                NEG, values)
+            v2 = jnp.max(masked, axis=1)
+            price_j = jnp.sum(
+                jnp.where(
+                    jax.lax.broadcasted_iota(jnp.int32, (d, n), 1)
+                    == jbest[:, None],
+                    prices, 0.0),
+                axis=1)
+            bid = price_j + (v1 - v2) + eps
+            ncol = jax.lax.broadcasted_iota(jnp.int32, (d, n), 1)
+            bids = jnp.where(
+                (r2c[:, None] < 0) & (ncol == jbest[:, None]),
+                bid[:, None], NEG)
+            best_bid = jnp.max(bids, axis=0)  # [N]
+            tbids = bids.T  # [N, D]
+            dcol2 = jax.lax.broadcasted_iota(jnp.int32, (n, d), 1)
+            winner = jnp.min(
+                jnp.where(tbids >= best_bid[:, None], dcol2, d), axis=1)
+            got = best_bid > NEG * 0.5
+            # evict previous owners of re-auctioned columns
+            evict_col = got & (c2r >= 0)
+            evicted_rows = jnp.where(evict_col, c2r, -1)
+            rios = jax.lax.broadcasted_iota(jnp.int32, (n, d), 1)
+            was_evicted = jnp.any(
+                (rios == evicted_rows[:, None])
+                & (best_bid[:, None] > NEG * 0.5) & (c2r[:, None] >= 0),
+                axis=0)
+            r2c = jnp.where(was_evicted, -1, r2c)
+            c2r = jnp.where(got, winner, c2r)
+            prices = jnp.where(got, best_bid, prices)
+            # assign: for each row, the column it just won (if any)
+            rcol = jax.lax.broadcasted_iota(jnp.int32, (d, n), 1)
+            mine = (jnp.broadcast_to(winner[None, :], (d, n)) ==
+                    jax.lax.broadcasted_iota(jnp.int32, (d, n), 0)) & got[None, :]
+            new_col = jnp.min(jnp.where(mine, rcol, n), axis=1)
+            r2c = jnp.where(new_col < n, new_col, r2c)
+            return it + 1, prices, r2c, c2r
+
+        def bid_cond(carry):
+            it, _, r2c, _ = carry
+            return (it < 3000) & jnp.any((r2c < 0) & dvalid)
+
+        r2c0 = jnp.where(dvalid, -1, 0)  # padding rows pre-assigned (ignored)
+        _, _, r2c, _ = jax.lax.while_loop(
+            bid_cond, bid_round,
+            (jnp.int32(0), jnp.zeros((n,), jnp.float32), r2c0,
+             jnp.full((n,), -1, jnp.int32)))
+
+        tgt = jnp.clip(r2c - d, 0, t - 1)
+        ncol3 = jax.lax.broadcasted_iota(jnp.int32, (d, t), 1)
+        pair_w = jnp.sum(jnp.where(ncol3 == tgt[:, None], W, 0.0), axis=1)
+        matched = dvalid & (r2c >= d) & (pair_w >= thr)
+
+        # ---- slot allocation -------------------------------------------
+        is_new = dvalid & ~matched
+        free = ~active  # [T]
+        free_rank = _cumsum_rows(free[None, :].astype(jnp.float32))[0]  # [T]
+        new_rank = _cumsum_rows(is_new[None, :].astype(jnp.float32))[0]  # [D]
+        # slot of the r-th free slot: first t with free_rank == r+1 and free
+        tcol = jax.lax.broadcasted_iota(jnp.int32, (d, t), 1)
+        want = new_rank[:, None]  # rank (1-based) needed per det
+        hit = free[None, :] & (jnp.broadcast_to(free_rank[None, :], (d, t))
+                               == want)
+        new_slot = jnp.min(jnp.where(hit, tcol, t - 1), axis=1)
+        slot = jnp.where(matched, tgt, new_slot)
+        n_new = jnp.sum(is_new.astype(jnp.int32))
+
+        # ---- one-hot scatter/gather matrices ---------------------------
+        oh = ((tcol == slot[:, None]) & (valid_row[:, None] > 0)).astype(jnp.float32)
+        # gather prev state rows: [D,T] @ [T,5]
+        g = lambda a: jnp.dot(oh, a, preferred_element_type=jnp.float32)
+        gv = lambda a: jnp.dot(oh, a[:, None],
+                               preferred_element_type=jnp.float32)[:, 0]
+
+        h = box[:, 4]
+        init_cpp = std2(2.0, 1e-2, h)
+        init_cvv = stdv2(10.0, 1e-5, h)
+        mm = matched.astype(jnp.float32)[:, None]
+        p_mp = mm * g(o_mp[...]) + (1 - mm) * box
+        p_mv = mm * g(o_mv[...])
+        p_cpp = mm * g(o_cpp[...]) + (1 - mm) * init_cpp
+        p_cpv = mm * g(o_cpv[...])
+        p_cvv = mm * g(o_cvv[...]) + (1 - mm) * init_cvv
+
+        # predict
+        hh = p_mp[:, 4]
+        qp = std2(1.0, 1e-2, hh)
+        qv = stdv2(1.0, 1e-5, hh)
+        n_mp = p_mp + p_mv
+        n_cpp = p_cpp + 2.0 * p_cpv + p_cvv + qp
+        n_cpv = p_cpv + p_cvv
+        n_cvv = p_cvv + qv
+        # update
+        r = std2(1.0, 1e-1, n_mp[:, 4])
+        S = n_cpp + r
+        nu = box - n_mp
+        gp = n_cpp / S
+        gvn = n_cpv / S
+        u_mp = n_mp + nu * gp
+        u_mv = p_mv + nu * gvn
+        u_cpp = n_cpp - n_cpp * gp
+        u_cpv = n_cpv - n_cpp * gvn
+        u_cvv = n_cvv - n_cpv * gvn
+
+        new_len = jnp.where(matched, gv(o_length[...].astype(jnp.float32)),
+                            0.0) + 1.0
+        new_ids = jnp.where(
+            matched,
+            gv(o_tid[...].astype(jnp.float32)),
+            (o_nid[0, 0].astype(jnp.float32) + new_rank),
+        )
+
+        # ---- scatter back: state' = (1-upd) * state + ohT @ value -------
+        upd_t = jnp.dot(oh.T, jnp.ones((d, 1), jnp.float32),
+                        preferred_element_type=jnp.float32)  # [T,1]
+        upd_t = jnp.minimum(upd_t, 1.0)
+        sc = lambda a: jnp.dot(oh.T, a, preferred_element_type=jnp.float32)
+        scv = lambda a: sc(a[:, None])[:, 0]
+
+        o_mp[...] = (1 - upd_t) * o_mp[...] + sc(u_mp)
+        o_mv[...] = (1 - upd_t) * o_mv[...] + sc(u_mv)
+        o_cpp[...] = (1 - upd_t) * o_cpp[...] + sc(u_cpp)
+        o_cpv[...] = (1 - upd_t) * o_cpv[...] + sc(u_cpv)
+        o_cvv[...] = (1 - upd_t) * o_cvv[...] + sc(u_cvv)
+        o_pred[...] = (1 - upd_t) * o_pred[...] + sc(u_mp)
+        o_obs[...] = (1 - upd_t) * o_obs[...] + sc(box)
+        u1 = upd_t[:, 0]
+        o_tconf[...] = (1 - u1) * o_tconf[...] + scv(conf)
+        o_active[...] = jnp.maximum(o_active[...], u1.astype(jnp.int32))
+        o_last[...] = jnp.where(u1 > 0, epoch, o_last[...])
+        o_length[...] = jnp.where(
+            u1 > 0, scv(new_len).astype(jnp.int32), o_length[...])
+        o_tid[...] = jnp.where(
+            u1 > 0, scv(new_ids).astype(jnp.int32), o_tid[...])
+        o_nid[0, 0] = o_nid[0, 0] + n_new
+
+        out_ids[s] = new_ids.astype(jnp.int32)
+        out_slots[s] = slot.astype(jnp.int32)
+        out_pred[s] = u_mp
+        return ()
+
+    jax.lax.fori_loop(0, c_frames, lambda s, c: frame(s, c), ())
+
+
+def pallas_sort_chunk(cfg: SortConfig, c_frames: int, d: int, t: int,
+                      interpret: bool = False):
+    """Build the chunked pallas step: (state_tuple, chunk) -> (state', outs).
+
+    state_tuple: (mp, mv, cpp, cpv, cvv, pred, obs, tconf, active_i32,
+    last, length, tid, nid[1]).
+    chunk: box[C,D,5], conf[C,D], valid_i32[C,D], epoch0[1].
+    """
+    kernel = partial(_kernel, cfg, c_frames)
+    state_shapes = [
+        jax.ShapeDtypeStruct((t, 5), jnp.float32),  # mp
+        jax.ShapeDtypeStruct((t, 5), jnp.float32),  # mv
+        jax.ShapeDtypeStruct((t, 5), jnp.float32),  # cpp
+        jax.ShapeDtypeStruct((t, 5), jnp.float32),  # cpv
+        jax.ShapeDtypeStruct((t, 5), jnp.float32),  # cvv
+        jax.ShapeDtypeStruct((t, 5), jnp.float32),  # pred
+        jax.ShapeDtypeStruct((t, 5), jnp.float32),  # obs
+        jax.ShapeDtypeStruct((t,), jnp.float32),  # tconf
+        jax.ShapeDtypeStruct((t,), jnp.int32),  # active
+        jax.ShapeDtypeStruct((t,), jnp.int32),  # last
+        jax.ShapeDtypeStruct((t,), jnp.int32),  # length
+        jax.ShapeDtypeStruct((t,), jnp.int32),  # tid
+        jax.ShapeDtypeStruct((1, 1), jnp.int32),  # nid
+    ]
+    out_shapes = state_shapes + [
+        jax.ShapeDtypeStruct((c_frames, d), jnp.int32),  # ids
+        jax.ShapeDtypeStruct((c_frames, d), jnp.int32),  # slots
+        jax.ShapeDtypeStruct((c_frames, d, 5), jnp.float32),  # pred boxes
+    ]
+    n_state = len(state_shapes)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    in_specs = [vspec, vspec, vspec, sspec] + [vspec] * n_state
+    in_specs[4 + n_state - 1] = sspec  # nid scalar lives in SMEM
+    out_specs = [vspec] * n_state + [vspec] * 3
+    out_specs[n_state - 1] = sspec
+
+    # the auction keeps several [D, D+T] temporaries live; the default VMEM
+    # budget makes the Mosaic compiler abort at production sizes — size the
+    # limit from the shapes instead
+    vmem_bytes = min(
+        110 * 1024 * 1024,
+        max(32 * 1024 * 1024, 40 * d * (d + t) * 4 + 8 * c_frames * d * 32),
+    )
+
+    def call(state_tuple, box, conf, valid, epoch0):
+        return pl.pallas_call(
+            kernel,
+            out_shape=tuple(out_shapes),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            input_output_aliases={4 + i: i for i in range(n_state)},
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_bytes),
+            interpret=interpret,
+        )(box, conf, valid, epoch0, *state_tuple)
+
+    return call
+
+
+def state_to_tuple(state: SortState):
+    return (
+        state.kf.mean_pos, state.kf.mean_vel, state.kf.cpp, state.kf.cpv,
+        state.kf.cvv, state.pred_box, state.obs_box, state.conf,
+        state.active.astype(jnp.int32), state.last_epoch, state.length,
+        state.track_id, jnp.reshape(state.next_id, (1, 1)),
+    )
+
+
+def tuple_to_state(tup, template: SortState) -> SortState:
+    from ..ops.kalman import KalmanState
+
+    (mp, mv, cpp, cpv, cvv, pred, obs, tconf, active, last, length, tid,
+     nid) = tup
+    return dataclasses.replace(
+        template,
+        kf=KalmanState(mp, mv, cpp, cpv, cvv),
+        pred_box=pred, obs_box=obs, conf=tconf,
+        active=active > 0, last_epoch=last, length=length, track_id=tid,
+        hist_obs=obs[:, None, :], hist_pred=pred[:, None, :],
+        hist_conf=tconf[:, None],
+        next_id=nid[0, 0],
+    )
+
+
+@lru_cache(maxsize=None)
+def compiled_pallas_sort_scan(cfg: SortConfig, chunk: int, interpret: bool = False):
+    """Scan-of-chunks pipeline matching `compiled_sort_scan` semantics
+    (IoU aligned, history 1, no constraints)."""
+    assert cfg.method == "iou" and not cfg.oriented and not cfg.constraints
+
+    def run(state: SortState, det_box, det_conf, det_valid, epoch0):
+        s, d, _ = det_box.shape
+        assert s % chunk == 0, "steps must be a multiple of the chunk size"
+        t = state.capacity
+        call = pallas_sort_chunk(cfg, chunk, d, t, interpret)
+
+        boxes = det_box.reshape(s // chunk, chunk, d, 5)
+        confs = det_conf.reshape(s // chunk, chunk, d)
+        valids = det_valid.astype(jnp.int32).reshape(s // chunk, chunk, d)
+
+        def body(carry, inp):
+            st, e0 = carry
+            b, c, v = inp
+            outs = call(st, b, c, v, jnp.reshape(e0, (1, 1)))
+            st2 = tuple(outs[:13])
+            ids, slots, pred = outs[13], outs[14], outs[15]
+            return (st2, e0 + chunk), (ids, slots, pred)
+
+        (st2, _), (ids, slots, pred) = jax.lax.scan(
+            body, (state_to_tuple(state), epoch0),
+            (boxes, confs, valids),
+        )
+        new_state = tuple_to_state(st2, state)
+        return new_state, (
+            ids.reshape(s, d), slots.reshape(s, d), pred.reshape(s, d, 5)
+        )
+
+    return jax.jit(run, donate_argnums=(0,))
