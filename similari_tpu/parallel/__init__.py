@@ -8,6 +8,7 @@ from .mesh import (  # noqa: F401
     new_batched_visual_state,
     scene_mesh,
     shard_batched_state,
+    sharded_sort_scan,
     sharded_sort_step,
     sharded_visual_step,
 )

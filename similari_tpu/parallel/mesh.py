@@ -145,6 +145,47 @@ def batched_visual_scan(cfg: VisualConfig):
     return scan_fn
 
 
+def sharded_sort_scan(cfg: SortConfig, mesh: Mesh):
+    """Pod-scale pipeline: scan(vmap(step)) running inside shard_map.
+
+    Scenes sharded over the mesh; each device scans its local scene block over
+    the whole frame stream with zero cross-device traffic, then a single psum
+    reduces the per-device new-track counters — the communication profile the
+    scaling plan calls for (compute on ICI-local data, collectives only for
+    metrics).
+    """
+    vstep = batched_sort_step(cfg)
+
+    def local(states, det_box, det_conf, det_valid, epochs0):
+        def body(st, inp):
+            box, conf, valid, i = inp
+            st, out = vstep(st, box, conf, valid, epochs0 + i)
+            return st, (out.track_id, out.is_new)
+
+        steps = det_box.shape[0]
+        idx = jnp.arange(steps, dtype=jnp.int32)
+        states, (ids, is_new) = jax.lax.scan(
+            body, states, (det_box, det_conf, det_valid, idx)
+        )
+        total_new = jax.lax.psum(jnp.sum(is_new.astype(jnp.int32)), SCENE_AXIS)
+        return states, ids, total_new
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(SCENE_AXIS),  # states (scene axis leading)
+            P(None, SCENE_AXIS),  # det_box [S_frames, scenes, D, 5]
+            P(None, SCENE_AXIS),
+            P(None, SCENE_AXIS),
+            P(SCENE_AXIS),  # epochs0
+        ),
+        out_specs=(P(SCENE_AXIS), P(None, SCENE_AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
 def sharded_visual_step(cfg: VisualConfig, mesh: Mesh):
     """shard_map'd VisualSORT batch step over the scene mesh (+psum stats)."""
     vstep = batched_visual_step(cfg)

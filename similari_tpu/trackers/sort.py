@@ -249,7 +249,9 @@ class Sort:
     def _tick_auto_waste(self):
         if self._auto_waste_counter == 0:
             self._auto_waste()
-            self._auto_waste_counter = DEFAULT_AUTO_WASTE_PERIODICITY
+            self._auto_waste_counter = getattr(
+                self, "_auto_waste_periodicity", DEFAULT_AUTO_WASTE_PERIODICITY
+            )
         else:
             self._auto_waste_counter -= 1
 
@@ -426,3 +428,11 @@ class Sort:
 
     def active_shard_stats(self) -> List[int]:
         return self.shard_stats()
+
+    def wasted_shard_stats(self) -> List[int]:
+        return [len(self._wasted_bin)]
+
+    def set_auto_waste(self, periodicity: int):
+        """`tracker_api.rs:26-31`: change periodicity, trigger on next predict."""
+        self._auto_waste_periodicity = periodicity
+        self._auto_waste_counter = 0

@@ -536,3 +536,13 @@ class VisualSort:
 
     def shard_stats(self) -> List[int]:
         return [sum(s.active_count for s in self._scenes.values())]
+
+    def active_shard_stats(self) -> List[int]:
+        return self.shard_stats()
+
+    def wasted_shard_stats(self) -> List[int]:
+        return [len(self._wasted_bin)]
+
+    def set_auto_waste(self, periodicity: int):
+        self._auto_waste_counter = 0
+        self._auto_waste_periodicity = periodicity

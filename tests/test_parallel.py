@@ -72,3 +72,38 @@ def test_sharded_step_on_mesh():
     np.testing.assert_array_equal(
         np.asarray(out2.track_id), np.asarray(out.track_id)
     )
+
+
+def test_sharded_scan_over_mesh():
+    """scan(vmap(step)) inside shard_map: per-device frame loops + one psum."""
+    from similari_tpu.parallel import sharded_sort_scan
+
+    mesh = scene_mesh()
+    cfg = SortConfig(method="iou", assignment="auction", max_idle_epochs=5,
+                     oriented=False)
+    rng = np.random.default_rng(5)
+    frames, s, d, t = 6, 8, 4, 16
+    states = jax.device_put(
+        new_batched_state(s, t, 1),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("scenes")),
+    )
+    box = np.zeros((frames, s, d, 5), np.float32)
+    xy = rng.uniform(0, 300, size=(s, d, 2))
+    for f in range(frames):
+        xy += rng.uniform(-1, 1, size=xy.shape)
+        box[f, ..., 0] = xy[..., 0]
+        box[f, ..., 1] = xy[..., 1]
+        box[f, ..., 3] = 0.5
+        box[f, ..., 4] = 20.0
+    run = sharded_sort_scan(cfg, mesh)
+    states, ids, total_new = run(
+        states,
+        jnp.asarray(box),
+        jnp.ones((frames, s, d), jnp.float32),
+        jnp.ones((frames, s, d), bool),
+        jnp.ones((s,), jnp.int32),
+    )
+    assert int(total_new) == s * d  # only the first frame creates tracks
+    ids = np.asarray(ids)
+    for f in range(1, frames):
+        np.testing.assert_array_equal(ids[f], ids[0])
