@@ -188,54 +188,86 @@ class VisualSortPredictionBatchRequest:
 
 
 class BatchVisualSort:
-    """Multi-scene VisualSORT (`visual_sort/batch_api.rs:54-335`)."""
+    """Multi-scene VisualSORT (`visual_sort/batch_api.rs:54-335`).
+
+    Backed by the persistent device-batched visual engine: every scene is a
+    row of one batched VisualState and a whole request dispatches as a single
+    vmapped visual step.
+    """
 
     def __init__(
         self,
         distance_shards: int = 4,
         voting_shards: int = 4,
         opts: Optional[VisualSortOptions] = None,
-        **kw,
+        *,
+        initial_capacity: int = 128,
+        assignment_backend: str = "auto",
     ):
-        self._inner = VisualSort(distance_shards, opts, **kw)
+        import dataclasses
+
+        from .batch_visual_device import VisualSceneBatchEngine
+
+        opts = opts or VisualSortOptions()
+        cfg = dataclasses.replace(
+            opts._build_config(), assignment=assignment_backend
+        )
+        self._engine = VisualSceneBatchEngine(
+            cfg,
+            history=opts._kept_history_length,
+            gallery=opts._visual_max_observations,
+            capacity=initial_capacity,
+        )
+        self._wasted_bin: List[WastedVisualSortTrack] = []
+        self._auto_waste_counter = 100
 
     def predict(
         self, batch_request: VisualSortPredictionBatchRequest
     ) -> PredictionBatchResult:
+        if self._auto_waste_counter == 0:
+            self._auto_waste()
+            self._auto_waste_counter = 100
+        else:
+            self._auto_waste_counter -= 1
         result = batch_request.result or PredictionBatchResult()
         batch_request.result = None
         result._batch_size = len(batch_request.batch)
-        for scene_id, observations in batch_request.batch.items():
-            obs_set = VisualSortObservationSet()
-            for o in observations:
-                obs_set.add(o)
-            tracks = self._inner.predict_with_scene(scene_id, obs_set)
+        for scene_id, tracks in self._engine.predict_scenes(
+            batch_request.batch
+        ).items():
             result._push((scene_id, tracks))
         return result
 
+    def _auto_waste(self):
+        self._wasted_bin.extend(self._engine.collect_wasted())
+
     def skip_epochs(self, n: int):
-        self._inner.skip_epochs(n)
+        self.skip_epochs_for_scene(0, n)
 
     def skip_epochs_for_scene(self, scene_id: int, n: int):
-        self._inner.skip_epochs_for_scene(scene_id, n)
+        self._engine.epochs[scene_id] = self._engine.epochs.get(scene_id, 0) + n
+        self._auto_waste()
 
     def current_epoch(self) -> int:
-        return self._inner.current_epoch()
+        return self.current_epoch_with_scene(0)
 
     def current_epoch_with_scene(self, scene_id: int) -> int:
-        return self._inner.current_epoch_with_scene(scene_id)
+        return self._engine.epochs.get(scene_id, 0)
 
     def wasted(self) -> List[WastedVisualSortTrack]:
-        return self._inner.wasted()
+        self._auto_waste()
+        out = self._wasted_bin
+        self._wasted_bin = []
+        return out
 
     def clear_wasted(self):
-        self._inner.clear_wasted()
+        self._wasted_bin = []
 
     def idle_tracks(self, scene_id: int = 0) -> List[SortTrack]:
-        return self._inner.idle_tracks_with_scene(scene_id)
+        return self._engine.idle_tracks(scene_id)
 
     def idle_tracks_with_scene(self, scene_id: int) -> List[SortTrack]:
-        return self._inner.idle_tracks_with_scene(scene_id)
+        return self._engine.idle_tracks(scene_id)
 
     def shard_stats(self) -> List[int]:
-        return self._inner.shard_stats()
+        return [self._engine.total_active()]

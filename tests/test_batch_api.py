@@ -134,3 +134,44 @@ def test_batch_sort_waste_and_idle():
     bs.skip_epochs_for_scene(3, 5)
     wasted = bs.wasted()
     assert any(w.scene_id == 3 for w in wasted)
+
+
+def test_batch_visual_many_scenes_reid():
+    """Device-batched visual engine: appearance-based identity across scenes."""
+    opts = (
+        VisualSortOptions()
+        .max_idle_epochs(5)
+        .visual_metric(VisualSortMetricType.cosine(0.3))
+        .positional_metric(PositionalMetricType.iou(0.3))
+        .visual_minimal_track_length(1)
+    )
+    bvs = BatchVisualSort(1, 1, opts)
+    rng = np.random.default_rng(0)
+    idents = rng.normal(size=(6, 2, 16)).astype(np.float32)
+    ids0 = {}
+    for step in range(4):
+        req = VisualSortPredictionBatchRequest()
+        for scene in range(6):
+            for obj in range(2):
+                feat = idents[scene, obj] + rng.normal(size=16).astype(np.float32) * 0.01
+                req.add(
+                    scene,
+                    VisualSortObservation(
+                        feat, 0.9,
+                        BoundingBox(200.0 * obj + step * 0.2, 0.0, 10.0, 20.0).as_xyaah(),
+                        obj,
+                    ),
+                )
+        res = bvs.predict(req)
+        while res.ready():
+            scene_id, tracks = res.get()
+            for t in tracks:
+                key = (scene_id, t.custom_object_id)
+                if step == 0:
+                    ids0[key] = t.id
+                else:
+                    assert ids0[key] == t.id
+    assert bvs.shard_stats()[0] == 12
+    bvs.skip_epochs_for_scene(2, 10)
+    wasted = bvs.wasted()
+    assert len(wasted) == 2 and all(w.scene_id == 2 for w in wasted)
