@@ -19,6 +19,7 @@ import numpy as np
 BASELINES = {
     "sort_iou_100": 561.0,
     "sort_maha_100": 588.0,
+    "sort_iou_oriented_100": 624.0,
     "sort_iou_500": 53.0,
     "batch_sort_iou_100": 618.0,
     "visual_sort_100x512": 173.0,
@@ -45,16 +46,25 @@ def box_stream(steps, n, seed=42, spread=1000.0):
     return out
 
 
-def bench_sort_scan(method: str, n_objects: int, steps=128, reps=5):
+def bench_sort_scan(method: str, n_objects: int, steps=128, reps=5,
+                    oriented=False):
     import jax
     import jax.numpy as jnp
 
     from similari_tpu.trackers.sort_step import SortConfig, compiled_sort_scan
     from similari_tpu.trackers.state import new_sort_state
 
-    cfg = SortConfig(method=method, assignment="auction", max_idle_epochs=5, oriented=False)
+    cfg = SortConfig(
+        method=method, assignment="auction", max_idle_epochs=5,
+        oriented=oriented,
+    )
     scan = compiled_sort_scan(cfg)
-    stream = jnp.asarray(box_stream(steps, n_objects))
+    stream = box_stream(steps, n_objects)
+    if oriented:
+        rng = np.random.default_rng(7)
+        stream = stream.copy()
+        stream[..., 2] = rng.uniform(0, 0.6, size=stream.shape[:2])
+    stream = jnp.asarray(stream)
     conf = jnp.ones((steps, n_objects), jnp.float32)
     valid = jnp.ones((steps, n_objects), bool)
 
@@ -208,6 +218,12 @@ def main():
         results[name + "_fps"] = fps
         log(f"{name}: {fps:.1f} FPS (reference {BASELINES[name]:.0f}) "
             f"[x{fps / BASELINES[name]:.1f}]")
+
+    fps = bench_sort_scan("iou", 100, oriented=True)
+    results["sort_iou_oriented_100_fps"] = fps
+    log(f"sort_iou_oriented_100: {fps:.1f} FPS (reference "
+        f"{BASELINES['sort_iou_oriented_100']:.0f}) "
+        f"[x{fps / BASELINES['sort_iou_oriented_100']:.1f}]")
 
     scene_fps = bench_batch_sort_scan()
     results["batch_sort_64x100_scene_fps"] = scene_fps

@@ -238,3 +238,21 @@ def test_backends_agree(backend):
             ids = cur
         else:
             assert cur == ids
+
+
+def test_oriented_end_to_end_scene_sticky():
+    """A scene flips to the oriented kernel when a rotated box appears and
+    keeps tracking correctly."""
+    t = make_sort(max_idle_epochs=5)
+    ids = set()
+    for step in range(3):  # axis-aligned phase
+        bb = BoundingBox(10.0 + step * 0.2, 10.0, 8.0, 16.0)
+        v = t.predict([(bb.as_xyaah(), None)])
+        ids.add(v[0].id)
+    for step in range(3):  # rotated phase, same object slowly rotating
+        ubb = Universal2DBox(14.6 + step * 0.2, 18.0, None, 0.5, 16.0)
+        ubb.rotate(0.05 * (step + 1))
+        v = t.predict([(ubb, None)])
+        ids.add(v[0].id)
+    assert len(ids) == 1
+    assert t._scenes[0].oriented
