@@ -4,6 +4,7 @@ from .mot import (  # noqa: F401
     read_detections,
     read_gt,
     run_sequence_device,
+    run_sequence_device_visual,
     run_sequence_interactive,
     vec5_to_ltwh,
     write_csv,

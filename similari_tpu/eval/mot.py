@@ -144,3 +144,89 @@ def run_sequence_device(
         ltwh = vec5_to_ltwh(src)
         out[f] = [(int(ids[s, i]), *map(float, ltwh[i])) for i in range(n)]
     return out, fps
+
+
+def run_sequence_device_visual(
+    detections: Detections,
+    features: Dict[int, List],
+    visual_kind: str = "cosine",
+    visual_threshold: float = 0.5,
+    minimal_track_length: int = 1,
+    iou_threshold: float = 0.3,
+    max_idle_epochs: int = 10,
+    capacity: int = 512,
+    gallery: int = 3,
+    report_observed: bool = True,
+) -> Tuple[Dict[int, List[Tuple[int, float, float, float, float]]], float]:
+    """VisualSORT whole-sequence device pipeline (detections + ReID features).
+
+    `features[frame][i]` aligns with `detections[frame][i]`; None entries fall
+    back to positional voting for that detection.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..trackers.visual_state import new_visual_state
+    from ..trackers.visual_step import VisualConfig, compiled_visual_scan
+
+    frames = sorted(detections)
+    steps = len(frames)
+    dmax = max(len(detections[f]) for f in frames)
+    fdim = max(
+        (len(x) for f in frames for x in features.get(f, []) if x is not None),
+        default=1,
+    )
+    dpad = 8
+    while dpad < dmax:
+        dpad *= 2
+    box = np.zeros((steps, dpad, 5), np.float32)
+    conf = np.zeros((steps, dpad), np.float32)
+    valid = np.zeros((steps, dpad), bool)
+    feat = np.zeros((steps, dpad, fdim), np.float32)
+    fvalid = np.zeros((steps, dpad), bool)
+    qual = np.ones((steps, dpad), np.float32)
+    oa = np.ones((steps, dpad), np.float32)
+    for s, f in enumerate(frames):
+        dets = np.asarray(detections[f], np.float32)
+        n = len(dets)
+        box[s, :n] = ltwh_to_vec5(dets)
+        conf[s, :n] = np.clip(dets[:, 4], 0.0, 1.0)
+        valid[s, :n] = True
+        for i, fv in enumerate(features.get(f, [])[:n]):
+            if fv is not None:
+                feat[s, i, : len(fv)] = fv
+                fvalid[s, i] = True
+
+    cfg = VisualConfig(
+        positional_kind="iou",
+        iou_threshold=iou_threshold,
+        visual_kind=visual_kind,
+        visual_threshold=visual_threshold,
+        visual_minimal_track_length=minimal_track_length,
+        max_idle_epochs=max_idle_epochs,
+        assignment="auction",
+        oriented=False,
+        feature_precision="bf16",
+    )
+    scan = compiled_visual_scan(cfg)
+    state = new_visual_state(capacity, 1, gallery, fdim)
+    args = (
+        jnp.asarray(box), jnp.asarray(conf), jnp.asarray(valid),
+        jnp.asarray(feat), jnp.asarray(fvalid), jnp.asarray(qual),
+        jnp.asarray(oa), jnp.int32(1),
+    )
+    compiled = scan.lower(state, *args).compile()
+    t0 = time.perf_counter()
+    state, outs = compiled(state, *args)
+    jax.block_until_ready(outs)
+    fps = steps / (time.perf_counter() - t0)
+
+    ids = np.asarray(outs.track_id)
+    pred = np.asarray(outs.pred_box)
+    out: Dict[int, List] = {}
+    for s, f in enumerate(frames):
+        n = int(valid[s].sum())
+        src = box[s, :n] if report_observed else pred[s, :n]
+        ltwh = vec5_to_ltwh(src)
+        out[f] = [(int(ids[s, i]), *map(float, ltwh[i])) for i in range(n)]
+    return out, fps

@@ -26,7 +26,12 @@ def generate_sequence(
     p_miss: float = 0.05,
     fp_per_frame: float = 0.5,
     birth_death: bool = True,
+    feature_dim: int = 0,
+    feature_noise: float = 0.05,
 ) -> Tuple[GT, Dets]:
+    """When feature_dim > 0 also returns per-frame ReID features aligned with
+    detections: (gt, dets, feats) — identity embeddings + noise, random
+    embeddings for false positives."""
     rng = np.random.default_rng(seed)
     xy = rng.uniform(50, arena - 50, size=(n_objects, 2))
     vel = rng.uniform(-3, 3, size=(n_objects, 2))
@@ -38,8 +43,11 @@ def generate_sequence(
         birth = np.zeros(n_objects, int)
         death = np.full(n_objects, n_frames - 1)
 
+    if feature_dim:
+        identities = rng.normal(size=(n_objects, feature_dim)) * 2.0
     gt: GT = {}
     dets: Dets = {}
+    feats: Dict[int, List] = {}
     for f in range(n_frames):
         xy += vel + rng.normal(0, 0.3, size=xy.shape)
         vel = np.clip(vel + rng.normal(0, 0.2, size=vel.shape), -4, 4)
@@ -51,6 +59,7 @@ def generate_sequence(
             vel[high, d] = -np.abs(vel[high, d])
         gt_rows = []
         det_rows = []
+        feat_rows = []
         for i in range(n_objects):
             if not (birth[i] <= f <= death[i]):
                 continue
@@ -59,6 +68,11 @@ def generate_sequence(
             gt_rows.append((i + 1, l, t, wh[i, 0], wh[i, 1]))
             if rng.uniform() < p_miss:
                 continue
+            if feature_dim:
+                feat_rows.append(
+                    (identities[i] + rng.normal(size=feature_dim) * feature_noise)
+                    .astype(np.float32)
+                )
             det_rows.append(
                 (
                     l + rng.normal(0, pos_noise),
@@ -71,6 +85,8 @@ def generate_sequence(
         # false positives
         n_fp = rng.poisson(fp_per_frame)
         for _ in range(n_fp):
+            if feature_dim:
+                feat_rows.append(rng.normal(size=feature_dim).astype(np.float32) * 2.0)
             det_rows.append(
                 (
                     rng.uniform(0, arena),
@@ -83,4 +99,8 @@ def generate_sequence(
         gt[f + 1] = gt_rows
         if det_rows:
             dets[f + 1] = det_rows
+            if feature_dim:
+                feats[f + 1] = feat_rows
+    if feature_dim:
+        return gt, dets, feats
     return gt, dets

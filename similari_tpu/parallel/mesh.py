@@ -34,6 +34,62 @@ def scene_mesh(n_devices: Optional[int] = None) -> Mesh:
     return Mesh(np.asarray(devices), (SCENE_AXIS,))
 
 
+HOST_AXIS = "hosts"
+DEVICE_AXIS = "devices"
+
+
+def pod_mesh(n_hosts: int, devices_per_host: Optional[int] = None) -> Mesh:
+    """2-D (hosts, devices) mesh for pod-slice runs.
+
+    Scenes shard over BOTH axes (`pod_scene_spec`): the outer host axis rides
+    DCN between hosts, the inner device axis rides ICI — matching the
+    scaling-plan layout (streams partitioned across hosts, then across each
+    host's chips).  SORT scenes never communicate, so the only DCN traffic is
+    the psum'd metrics; gallery queries all_gather over both axes.
+    """
+    devices = jax.devices()
+    if devices_per_host is None:
+        devices_per_host = len(devices) // n_hosts
+    use = devices[: n_hosts * devices_per_host]
+    grid = np.asarray(use).reshape(n_hosts, devices_per_host)
+    return Mesh(grid, (HOST_AXIS, DEVICE_AXIS))
+
+
+def pod_scene_spec() -> P:
+    return P((HOST_AXIS, DEVICE_AXIS))
+
+
+def pod_sharded_sort_scan(cfg: SortConfig, mesh: Mesh):
+    """`sharded_sort_scan` over a 2-D pod mesh: per-device frame loops,
+    psum over both axes for global stats."""
+    vstep = batched_sort_step(cfg)
+    axes = (HOST_AXIS, DEVICE_AXIS)
+
+    def local(states, det_box, det_conf, det_valid, epochs0):
+        def body(st, inp):
+            box, conf, valid, i = inp
+            st, out = vstep(st, box, conf, valid, epochs0 + i)
+            return st, (out.track_id, out.is_new)
+
+        steps = det_box.shape[0]
+        idx = jnp.arange(steps, dtype=jnp.int32)
+        states, (ids, is_new) = jax.lax.scan(
+            body, states, (det_box, det_conf, det_valid, idx)
+        )
+        total_new = jax.lax.psum(jnp.sum(is_new.astype(jnp.int32)), axes)
+        return states, ids, total_new
+
+    spec = pod_scene_spec()
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, P(None, *spec), P(None, *spec), P(None, *spec), spec),
+        out_specs=(spec, P(None, *spec), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
 def batched_sort_step(cfg: SortConfig):
     """vmapped step over a leading scene axis (single device).
 

@@ -71,3 +71,20 @@ def test_clean_detections_near_perfect():
     assert clear["MOTA"] > 0.99, clear
     assert clear["IDSW"] == 0
     assert ident["IDF1"] > 0.99, ident
+
+
+def test_visual_sequence_device_accuracy():
+    """Config-4 path: VisualSORT with ReID features on a noisy synthetic
+    sequence; appearance should hold identities through heavy dropouts."""
+    from similari_tpu.eval import run_sequence_device_visual
+
+    gt, dets, feats = generate_sequence(
+        n_objects=12, n_frames=50, seed=11, p_miss=0.15, fp_per_frame=0.3,
+        feature_dim=32,
+    )
+    pred, fps = run_sequence_device_visual(dets, feats)
+    clear = clear_metrics(gt, pred)
+    ident = identity_metrics(gt, pred)
+    assert clear["MOTA"] > 0.75, clear
+    assert ident["IDF1"] > 0.75, ident
+    assert fps > 0

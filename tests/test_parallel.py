@@ -107,3 +107,41 @@ def test_sharded_scan_over_mesh():
     ids = np.asarray(ids)
     for f in range(1, frames):
         np.testing.assert_array_equal(ids[f], ids[0])
+
+
+def test_pod_mesh_2d():
+    """2-D (hosts x devices) mesh: scenes sharded over both axes."""
+    from similari_tpu.parallel import (
+        pod_mesh,
+        pod_scene_spec,
+        pod_sharded_sort_scan,
+    )
+
+    mesh = pod_mesh(2, 4)  # 8 virtual devices as 2 "hosts" x 4 chips
+    cfg = SortConfig(method="iou", assignment="auction", max_idle_epochs=5,
+                     oriented=False)
+    rng = np.random.default_rng(6)
+    frames, s, d, t = 4, 16, 4, 16
+    states = jax.device_put(
+        new_batched_state(s, t, 1),
+        jax.sharding.NamedSharding(mesh, pod_scene_spec()),
+    )
+    box = np.zeros((frames, s, d, 5), np.float32)
+    xy = rng.uniform(0, 500, size=(s, d, 2))
+    for f in range(frames):
+        xy += rng.uniform(-1, 1, size=xy.shape)
+        box[f, ..., 0] = xy[..., 0]
+        box[f, ..., 1] = xy[..., 1]
+        box[f, ..., 3] = 0.5
+        box[f, ..., 4] = 20.0
+    run = pod_sharded_sort_scan(cfg, mesh)
+    states, ids, total_new = run(
+        states,
+        jnp.asarray(box),
+        jnp.ones((frames, s, d), jnp.float32),
+        jnp.ones((frames, s, d), bool),
+        jnp.ones((s,), jnp.int32),
+    )
+    assert int(total_new) == s * d
+    ids = np.asarray(ids)
+    np.testing.assert_array_equal(ids[1], ids[0])
