@@ -33,45 +33,166 @@ NEG = -1e30
 
 
 def _auction_round(carry, weights, eps):
-    """One Jacobi auction round: every unassigned row bids for its best column."""
+    """One Jacobi auction round: every unassigned row bids for its best column.
+
+    Scatter/gather-free (everything is [D, N] elementwise + reductions) and
+    idempotent once all rows are assigned — so it can run unrolled without a
+    convergence check.  Vmapped while_loops and dynamic scatters both
+    serialize on TPU; this formulation fuses into a handful of VPU kernels.
+    """
     prices, row_to_col, col_to_row = carry
     d, n = weights.shape
+    cols = jnp.arange(n, dtype=jnp.int32)
     unassigned = row_to_col < 0  # [D]
 
     values = weights - prices[None, :]  # [D, N]
     j_best = jnp.argmax(values, axis=1)  # [D]
     v_best = jnp.max(values, axis=1)
-    masked = values.at[jnp.arange(d), j_best].set(NEG)
-    v_second = jnp.max(masked, axis=1)
-    bid_amount = prices[j_best] + (v_best - v_second) + eps  # [D]
+    best_onehot = j_best[:, None] == cols[None, :]  # [D, N]
+    v_second = jnp.max(jnp.where(best_onehot, NEG, values), axis=1)
+    # price of the bid column without a gather: one-hot masked max
+    p_best = jnp.max(jnp.where(best_onehot, prices[None, :], NEG), axis=1)
+    bid_amount = p_best + (v_best - v_second) + eps  # [D]
 
     # Column side: highest bid per column wins (ties -> lowest row id).
-    bids = jnp.where(
-        unassigned[:, None] & (j_best[:, None] == jnp.arange(n)[None, :]),
-        bid_amount[:, None],
-        NEG,
-    )  # [D, N]
+    bids = jnp.where(unassigned[:, None] & best_onehot, bid_amount[:, None], NEG)
     best_bid = jnp.max(bids, axis=0)  # [N]
-    winner_row = jnp.argmax(bids, axis=0)  # [N]
+    winner_row = jnp.argmax(bids, axis=0).astype(jnp.int32)  # [N]
     got_bid = best_bid > NEG * 0.5
 
-    # Previous owners of re-auctioned columns lose their assignment.
-    prev_owner = col_to_row  # [N]
-    evict = got_bid & (prev_owner >= 0)
-    row_to_col = row_to_col.at[jnp.where(evict, prev_owner, d)].set(-1, mode="drop")
-
+    # Previous owners of re-auctioned columns lose their assignment; winners
+    # take them — both via [D, N] one-hots instead of dynamic scatters.
+    own = col_to_row[None, :] == jnp.arange(d, dtype=jnp.int32)[:, None]  # [D, N]
+    evicted = jnp.any(own & got_bid[None, :], axis=1)  # [D]
+    win = got_bid[None, :] & (
+        winner_row[None, :] == jnp.arange(d, dtype=jnp.int32)[:, None]
+    )  # [D, N]
+    won_col = jnp.max(jnp.where(win, cols[None, :], -1), axis=1)  # [D]
+    row_to_col = jnp.where(won_col >= 0, won_col,
+                           jnp.where(evicted, -1, row_to_col))
     col_to_row = jnp.where(got_bid, winner_row, col_to_row)
     prices = jnp.where(got_bid, best_bid, prices)
-    row_to_col = row_to_col.at[jnp.where(got_bid, winner_row, d)].set(
-        jnp.where(got_bid, jnp.arange(n), -1), mode="drop"
-    )
     return prices, row_to_col, col_to_row
+
+
+# Rounds to run unconditionally (fused straight-line code).  Tracking-shaped
+# matrices converge in 1-3 rounds (measured median 2 at the bench workload);
+# the tail while_loop below only spins on rare pathological instances.
+_UNROLLED_ROUNDS = 3
+
+
+def _fb_round(carry, weights, theta, eps):
+    """One auction round with an analytic private fallback column per row.
+
+    The SORT voting matrix is [D, D+T] with a private diagonal column worth
+    `theta` ("create a new track").  Private columns are never contested, so
+    instead of materializing the [D, D] block we treat them as a constant
+    outside option: a row whose best real value (net of prices) is below theta
+    takes the fallback immediately and permanently (state -2); otherwise it
+    bids `v_best - max(v_second, theta) + eps` on its best real column.
+    Same LP, ~1/3 the per-round work at D=100, T=200.
+    """
+    prices, row_to_col, col_to_row = carry
+    d, t = weights.shape
+    cols = jnp.arange(t, dtype=jnp.int32)
+    rows = jnp.arange(d, dtype=jnp.int32)
+    unassigned = row_to_col == -1  # -2 = took fallback (final)
+
+    values = weights - prices[None, :]  # [D, T]
+    j_best = jnp.argmax(values, axis=1)
+    v_best = jnp.max(values, axis=1)
+    best_onehot = j_best[:, None] == cols[None, :]
+    v_second = jnp.max(jnp.where(best_onehot, NEG, values), axis=1)
+    p_best = jnp.max(jnp.where(best_onehot, prices[None, :], NEG), axis=1)
+
+    take_fb = unassigned & (theta >= v_best)
+    bid_amount = p_best + (v_best - jnp.maximum(v_second, theta)) + eps
+
+    bids = jnp.where(
+        (unassigned & ~take_fb)[:, None] & best_onehot, bid_amount[:, None], NEG
+    )
+    best_bid = jnp.max(bids, axis=0)  # [T]
+    winner_row = jnp.argmax(bids, axis=0).astype(jnp.int32)
+    got_bid = best_bid > NEG * 0.5
+
+    own = col_to_row[None, :] == rows[:, None]  # [D, T]
+    evicted = jnp.any(own & got_bid[None, :], axis=1)
+    win = got_bid[None, :] & (winner_row[None, :] == rows[:, None])
+    won_col = jnp.max(jnp.where(win, cols[None, :], -1), axis=1)
+    row_to_col = jnp.where(
+        take_fb, -2,
+        jnp.where(won_col >= 0, won_col, jnp.where(evicted, -1, row_to_col)),
+    )
+    col_to_row = jnp.where(got_bid, winner_row, col_to_row)
+    prices = jnp.where(got_bid, best_bid, prices)
+    return prices, row_to_col, col_to_row
+
+
+@partial(jax.jit, static_argnames=("max_iters",))
+def auction_lap_fallback(
+    weights: jax.Array,  # [D, T] real-column weights (0 = no edge)
+    theta,  # scalar new-track threshold
+    max_iters: int = 3000,
+) -> jax.Array:
+    """Auction on the SORT voting LP with private fallback columns.
+
+    Returns, per row, the column in the *augmented* convention of
+    ``augment_with_threshold`` + ``solve_lap``: col < D means "self" (new
+    track), col >= D means real column col - D.
+    """
+    d, t = weights.shape
+    wmax = jnp.maximum(jnp.max(weights), theta)
+    wmin = jnp.minimum(jnp.min(weights), 0.0)
+    span = jnp.maximum(wmax - wmin, 1e-6)
+    eps = span / max(4096.0, 64.0 * d)
+    prices = jnp.zeros((t,), weights.dtype)
+    carry = (prices, jnp.full((d,), -1, jnp.int32), jnp.full((t,), -1, jnp.int32))
+    for _ in range(_UNROLLED_ROUNDS):
+        carry = _fb_round(carry, weights, theta, eps)
+
+    def cond(c):
+        i, (_, r2c, _) = c
+        return (i < max_iters) & jnp.any(r2c == -1)
+
+    def body(c):
+        i, cc = c
+        return i + 1, _fb_round(cc, weights, theta, eps)
+
+    _, (_, row_to_col, _) = jax.lax.while_loop(
+        cond, body, (jnp.int32(_UNROLLED_ROUNDS), carry)
+    )
+    rows = jnp.arange(d, dtype=jnp.int32)
+    return jnp.where(row_to_col >= 0, d + row_to_col, rows)
+
+
+def solve_voting(
+    metric: jax.Array,  # [D, T] pair weights (0 = no edge)
+    threshold,
+    row_valid: jax.Array,
+    col_valid: jax.Array,
+    backend: str,
+) -> jax.Array:
+    """SORT voting assignment (`sort/voting.rs:27-100`): returns per-row col
+    in the augmented convention (col < D = new track, col >= D = track col-D).
+
+    The auction backend skips materializing the [D, D] diagonal block; host
+    backends solve the exact augmented matrix.
+    """
+    body = jnp.where(row_valid[:, None] & col_valid[None, :], metric, 0.0)
+    if backend == "auction":
+        return auction_lap_fallback(body, threshold)
+    a = augment_with_threshold(metric, threshold, row_valid, col_valid)
+    return solve_lap(a, backend)
 
 
 def _auction_phase(prices, weights, eps, max_iters):
     d, n = weights.shape
     row_to_col = jnp.full((d,), -1, jnp.int32)
     col_to_row = jnp.full((n,), -1, jnp.int32)
+
+    carry = (prices, row_to_col, col_to_row)
+    for _ in range(_UNROLLED_ROUNDS):
+        carry = _auction_round(carry, weights, eps)
 
     def cond(c):
         i, (_, r2c, _) = c
@@ -82,7 +203,7 @@ def _auction_phase(prices, weights, eps, max_iters):
         return i + 1, _auction_round(carry, weights, eps)
 
     _, (prices, row_to_col, col_to_row) = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), (prices, row_to_col, col_to_row))
+        cond, body, (jnp.int32(_UNROLLED_ROUNDS), carry)
     )
     return prices, row_to_col, col_to_row
 

@@ -39,6 +39,7 @@ import jax.numpy as jnp
 from ..ops import assignment as asg
 from ..ops import geometry as geo
 from ..ops import kalman as kal
+from ..ops import merge as mrg
 from .constraints import allowed_distance_for_delta
 from .state import SortState
 
@@ -147,10 +148,10 @@ def sort_step(
     spec = cfg.kalman_spec
 
     W = distance_weights(cfg, state, det_box, det_conf, epoch)
-    A = asg.augment_with_threshold(
-        W, cfg.new_track_threshold, det_valid, state.active
-    )
-    col = asg.solve_lap(A, asg.resolve_backend(cfg.assignment))  # [D]
+    col = asg.solve_voting(
+        W, cfg.new_track_threshold, det_valid, state.active,
+        asg.resolve_backend(cfg.assignment),
+    )  # [D]
     tgt = jnp.clip(col - d, 0, t - 1)
     pair_w = W[jnp.arange(d), tgt]
     matched = det_valid & (col >= d) & (pair_w >= cfg.new_track_threshold)
@@ -184,26 +185,23 @@ def sort_step(
         state.next_id + new_rank + 1,
     ).astype(jnp.int32)
 
-    # --- scatter updates --------------------------------------------------
-    sidx = jnp.where(safe, slot, t)  # drop writes for invalid/overflow
-
-    kf = jax.tree.map(
-        lambda dst, src: dst.at[sidx].set(src, mode="drop"), state.kf, st
-    )
+    # --- scatter-free state merge (see ops/merge.py) ----------------------
+    hit = mrg.writer_hit(slot, safe, t)
+    written = jnp.any(hit, axis=1)
     h = state.history
     hix = (new_length - 1) % h
     new_state = SortState(
-        kf=kf,
-        pred_box=state.pred_box.at[sidx].set(pred_box, mode="drop"),
-        obs_box=state.obs_box.at[sidx].set(det_box, mode="drop"),
-        conf=state.conf.at[sidx].set(det_conf, mode="drop"),
-        active=state.active.at[sidx].set(True, mode="drop"),
-        last_epoch=state.last_epoch.at[sidx].set(epoch, mode="drop"),
-        length=state.length.at[sidx].set(new_length, mode="drop"),
-        track_id=state.track_id.at[sidx].set(new_ids, mode="drop"),
-        hist_obs=state.hist_obs.at[sidx, hix].set(det_box, mode="drop"),
-        hist_pred=state.hist_pred.at[sidx, hix].set(pred_box, mode="drop"),
-        hist_conf=state.hist_conf.at[sidx, hix].set(det_conf, mode="drop"),
+        kf=mrg.merge_tree(state.kf, st, hit),
+        pred_box=mrg.merge_rows(state.pred_box, pred_box, hit),
+        obs_box=mrg.merge_rows(state.obs_box, det_box, hit),
+        conf=mrg.merge_rows(state.conf, det_conf, hit),
+        active=state.active | written,
+        last_epoch=jnp.where(written, epoch, state.last_epoch),
+        length=mrg.merge_rows(state.length, new_length, hit),
+        track_id=mrg.merge_rows(state.track_id, new_ids, hit),
+        hist_obs=mrg.merge_ring(state.hist_obs, det_box, hix, hit),
+        hist_pred=mrg.merge_ring(state.hist_pred, pred_box, hix, hit),
+        hist_conf=mrg.merge_ring(state.hist_conf, det_conf, hix, hit),
         next_id=(state.next_id + n_new).astype(jnp.int32),
     )
     out = StepOutput(

@@ -32,6 +32,7 @@ from ..ops import assignment as asg
 from ..ops import distances as dst
 from ..ops import geometry as geo
 from ..ops import kalman as kal
+from ..ops import merge as mrg
 from .constraints import allowed_distance_for_delta
 from .sort_step import MAHALANOBIS_NEW_TRACK_THRESHOLD
 from .visual_state import VisualState
@@ -215,10 +216,10 @@ def visual_step(
     row_open = det_valid & ~visual_decided
     col_open = state.active & ~claimed
     P_masked = jnp.where(row_open[:, None] & col_open[None, :] & p_valid, P, 0.0)
-    A = asg.augment_with_threshold(
-        P_masked, cfg.new_track_threshold, det_valid, col_open
+    col = asg.solve_voting(
+        P_masked, cfg.new_track_threshold, det_valid, col_open,
+        asg.resolve_backend(cfg.assignment),
     )
-    col = asg.solve_lap(A, asg.resolve_backend(cfg.assignment))
     ptgt = jnp.clip(col - d, 0, t - 1)
     pos_matched = (
         row_open
@@ -243,7 +244,6 @@ def visual_step(
     slot = jnp.where(matched, tgt, free_slots[jnp.clip(new_rank, 0, t - 1)])
     slot = jnp.clip(slot, 0, t - 1)
     safe = det_valid & ~overflow
-    sidx = jnp.where(safe, slot, t)
 
     # --- Kalman update ----------------------------------------------------
     prev = jax.tree.map(
@@ -278,31 +278,35 @@ def visual_step(
 
     h = state.history
     hix = (new_length - 1) % h
-    feat_write = jnp.where(safe & keep_new, slot, t)
+
+    # scatter-free state merge (see ops/merge.py); gallery-lane writes use the
+    # tighter collect mask so skipped features leave the gallery row untouched
+    # apart from the quality/validity bookkeeping merged below.
+    hit = mrg.writer_hit(slot, safe, t)
+    hit_f = hit & keep_new[None, :]
+    written = jnp.any(hit, axis=1)
 
     new_state = VisualState(
-        kf=jax.tree.map(
-            lambda dstt, src: dstt.at[sidx].set(src, mode="drop"), state.kf, st
-        ),
-        pred_box=state.pred_box.at[sidx].set(pred_box, mode="drop"),
-        obs_box=state.obs_box.at[sidx].set(det_box, mode="drop"),
-        conf=state.conf.at[sidx].set(det_conf, mode="drop"),
-        active=state.active.at[sidx].set(True, mode="drop"),
-        last_epoch=state.last_epoch.at[sidx].set(epoch, mode="drop"),
-        length=state.length.at[sidx].set(new_length, mode="drop"),
-        track_id=state.track_id.at[sidx].set(new_ids, mode="drop"),
-        hist_obs=state.hist_obs.at[sidx, hix].set(det_box, mode="drop"),
-        hist_pred=state.hist_pred.at[sidx, hix].set(pred_box, mode="drop"),
-        hist_conf=state.hist_conf.at[sidx, hix].set(det_conf, mode="drop"),
+        kf=mrg.merge_tree(state.kf, st, hit),
+        pred_box=mrg.merge_rows(state.pred_box, pred_box, hit),
+        obs_box=mrg.merge_rows(state.obs_box, det_box, hit),
+        conf=mrg.merge_rows(state.conf, det_conf, hit),
+        active=state.active | written,
+        last_epoch=jnp.where(written, epoch, state.last_epoch),
+        length=mrg.merge_rows(state.length, new_length, hit),
+        track_id=mrg.merge_rows(state.track_id, new_ids, hit),
+        hist_obs=mrg.merge_ring(state.hist_obs, det_box, hix, hit),
+        hist_pred=mrg.merge_ring(state.hist_pred, pred_box, hix, hit),
+        hist_conf=mrg.merge_ring(state.hist_conf, det_conf, hix, hit),
         next_id=(state.next_id + n_new).astype(jnp.int32),
-        feats=state.feats.at[feat_write, free_k].set(det_feat, mode="drop"),
-        feat_quality=state.feat_quality.at[sidx].set(final_q, mode="drop"),
-        feat_valid=state.feat_valid.at[sidx].set(final_valid, mode="drop"),
-        collected=state.collected.at[sidx].set(collected, mode="drop"),
-        voting_type=state.voting_type.at[sidx].set(vt, mode="drop"),
-        hist_feat=state.hist_feat.at[sidx, hix].set(det_feat, mode="drop"),
-        hist_feat_valid=state.hist_feat_valid.at[sidx, hix].set(
-            det_feat_valid, mode="drop"
+        feats=mrg.merge_lane(state.feats, det_feat, free_k, hit_f),
+        feat_quality=mrg.merge_rows(state.feat_quality, final_q, hit),
+        feat_valid=mrg.merge_rows(state.feat_valid, final_valid, hit),
+        collected=mrg.merge_rows(state.collected, collected, hit),
+        voting_type=mrg.merge_rows(state.voting_type, vt, hit),
+        hist_feat=mrg.merge_ring(state.hist_feat, det_feat, hix, hit),
+        hist_feat_valid=mrg.merge_ring(
+            state.hist_feat_valid, det_feat_valid, hix, hit
         ),
     )
     out = VisualStepOutput(
