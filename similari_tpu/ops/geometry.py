@@ -111,83 +111,179 @@ def _line_intersection(sx, sy, ex, ey, c1, c2):
 
 
 def _cyclic_select(v, sel):
-    """v[..., L] gathered by one-hot sel[..., L, L] without a dynamic gather.
+    """v[L, P] selected by one-hot sel[Ldst, Lsrc, P] without a dynamic gather.
 
-    TPU note: a vmapped dynamic gather/scatter over the vertex lanes lowers to
-    serialized code; an L x L masked contraction (L=8) is pure VPU work and
-    batches over any leading shape for free.  This is what makes the rotated
-    IoU matrix ~1000x faster than the scatter formulation on real chips.
+    TPU notes: a vmapped dynamic gather/scatter over the vertex lanes lowers
+    to serialized code, and putting the 8-slot vertex axis *last* pads every
+    intermediate to 128 lanes (16x wasted HBM traffic).  So the layout here is
+    vertex slots on the sublane axis and the flattened pair batch on the lane
+    axis, with L x L one-hot contractions for the cyclic indexing.  This is
+    what makes the rotated IoU matrix ~1000x faster than the scatter
+    formulation on real chips.
     """
-    return jnp.sum(jnp.where(sel, v[..., None, :], 0.0), axis=-1)
+    return jnp.sum(jnp.where(sel, v[None, :, :], 0.0), axis=1)
 
 
-def _clip_halfplane(vx, vy, n, c1, c2):
-    """Clip masked polygons (vx, vy)[..., 8] of n[...] live verts by c1->c2.
+def _clip_halfplane(vx, vy, n, c1x, c1y, c2x, c2y):
+    """Clip masked polygons (vx, vy)[L, P] of n[P] live verts by edge c1->c2.
 
-    Fully batched over leading dims; no scatter/gather — emission positions
-    become one-hot [8, 8] contractions.
+    All [P]-shaped clip-edge operands broadcast over the L sublanes; no
+    scatter/gather — emission positions become one-hot [L, L, P] contractions.
     """
-    idx = jnp.arange(_MAX_VERTS, dtype=jnp.int32)
-    valid = idx < n[..., None]
-    prev_idx = jnp.where(idx == 0, n[..., None] - 1, idx - 1)  # [..., L]
-    prev_sel = (prev_idx[..., :, None] == idx) & valid[..., :, None]
+    idx = jnp.arange(_MAX_VERTS, dtype=jnp.int32)[:, None]  # [L, 1]
+    valid = idx < n[None, :]  # [L, P]
+    prev_idx = jnp.where(idx == 0, n[None, :] - 1, idx - 1)  # [L, P]
+    lane = jnp.arange(_MAX_VERTS, dtype=jnp.int32)[None, :, None]  # [1, L, 1]
+    prev_sel = (prev_idx[:, None, :] == lane) & valid[:, None, :]
     sx = _cyclic_select(vx, prev_sel)
     sy = _cyclic_select(vy, prev_sel)
-    in_e = _edge_side(vx, vy, c1[..., None, :], c2[..., None, :]) <= 0.0
-    in_s = _edge_side(sx, sy, c1[..., None, :], c2[..., None, :]) <= 0.0
-    ix, iy = _line_intersection(
-        sx, sy, vx, vy, c1[..., None, :], c2[..., None, :]
-    )
+    c1 = jnp.stack([c1x, c1y], axis=-1)[None]
+    c2 = jnp.stack([c2x, c2y], axis=-1)[None]
+    in_e = _edge_side(vx, vy, c1, c2) <= 0.0
+    in_s = _edge_side(sx, sy, c1, c2) <= 0.0
+    ix, iy = _line_intersection(sx, sy, vx, vy, c1, c2)
     emit_i = valid & (in_e ^ in_s)
     emit_e = valid & in_e
     cnt = emit_i.astype(jnp.int32) + emit_e.astype(jnp.int32)
-    off = jnp.cumsum(cnt, axis=-1) - cnt
+    off = jnp.cumsum(cnt, axis=0) - cnt
     pos_i = jnp.where(emit_i, off, _MAX_VERTS)
     pos_e = jnp.where(emit_e, off + emit_i.astype(jnp.int32), _MAX_VERTS)
-    sel_i = pos_i[..., :, None] == idx  # [..., Lsrc, Ldst]
-    sel_e = pos_e[..., :, None] == idx
+    sel_i = pos_i[None, :, :] == idx[:, :, None]  # [Ldst, Lsrc, P]
+    sel_e = pos_e[None, :, :] == idx[:, :, None]
     ox = jnp.sum(
-        jnp.where(sel_i, ix[..., :, None], 0.0)
-        + jnp.where(sel_e, vx[..., :, None], 0.0),
-        axis=-2,
+        jnp.where(sel_i, ix[None], 0.0) + jnp.where(sel_e, vx[None], 0.0),
+        axis=1,
     )
     oy = jnp.sum(
-        jnp.where(sel_i, iy[..., :, None], 0.0)
-        + jnp.where(sel_e, vy[..., :, None], 0.0),
-        axis=-2,
+        jnp.where(sel_i, iy[None], 0.0) + jnp.where(sel_e, vy[None], 0.0),
+        axis=1,
     )
-    return ox, oy, jnp.sum(cnt, axis=-1)
+    return ox, oy, jnp.sum(cnt, axis=0)
 
 
-def _sh_clip_quads(subject: jax.Array, clip: jax.Array):
-    """Clip quads [..., 4, 2] by quads [..., 4, 2] -> (vx, vy)[..., 8], n[...]."""
-    pad = jnp.zeros(subject.shape[:-2] + (4,), subject.dtype)
-    vx = jnp.concatenate([subject[..., :, 0], pad], axis=-1)
-    vy = jnp.concatenate([subject[..., :, 1], pad], axis=-1)
-    n = jnp.full(subject.shape[:-2], 4, jnp.int32)
+def _sh_clip_quads_lp(subject: jax.Array, clip: jax.Array):
+    """Clip quads by quads in lane-last layout.
+
+    subject/clip: [..., 4, 2] -> (vx, vy)[8, P], n[P] with P = prod(batch).
+    """
+    batch = subject.shape[:-2]
+    p = 1
+    for s in batch:
+        p *= s
+    sv = jnp.moveaxis(subject.reshape((p, 4, 2)), 0, -1)  # [4, 2, P]
+    cv = jnp.moveaxis(clip.reshape((p, 4, 2)), 0, -1)
+    pad = jnp.zeros((4, p), subject.dtype)
+    vx = jnp.concatenate([sv[:, 0, :], pad], axis=0)  # [8, P]
+    vy = jnp.concatenate([sv[:, 1, :], pad], axis=0)
+    n = jnp.full((p,), 4, jnp.int32)
     for i in range(4):
-        c1 = clip[..., (i - 1) % 4, :]
-        c2 = clip[..., i, :]
-        vx, vy, n = _clip_halfplane(vx, vy, n, c1, c2)
+        j = (i - 1) % 4
+        vx, vy, n = _clip_halfplane(
+            vx, vy, n, cv[j, 0], cv[j, 1], cv[i, 0], cv[i, 1]
+        )
     return vx, vy, n
 
 
-def _masked_area(vx, vy, n):
-    """Unsigned shoelace area over the first n lanes; batched over leading dims."""
-    idx = jnp.arange(_MAX_VERTS, dtype=jnp.int32)
-    valid = idx < n[..., None]
-    nxt_idx = jnp.where(idx == n[..., None] - 1, 0, idx + 1)
-    nxt_sel = (nxt_idx[..., :, None] == idx) & valid[..., :, None]
+def _sh_clip_quads(subject: jax.Array, clip: jax.Array):
+    """Compat wrapper: [..., 4, 2] quads -> (vx, vy)[..., 8], n[...]."""
+    batch = subject.shape[:-2]
+    vx, vy, n = _sh_clip_quads_lp(subject, clip)
+    return (
+        jnp.moveaxis(vx, 0, -1).reshape(batch + (_MAX_VERTS,)),
+        jnp.moveaxis(vy, 0, -1).reshape(batch + (_MAX_VERTS,)),
+        n.reshape(batch),
+    )
+
+
+def _masked_area_lp(vx, vy, n):
+    """Unsigned shoelace area over the first n slots; layout [L, P] -> [P]."""
+    idx = jnp.arange(_MAX_VERTS, dtype=jnp.int32)[:, None]
+    valid = idx < n[None, :]
+    nxt_idx = jnp.where(idx == n[None, :] - 1, 0, idx + 1)
+    lane = jnp.arange(_MAX_VERTS, dtype=jnp.int32)[None, :, None]
+    nxt_sel = (nxt_idx[:, None, :] == lane) & valid[:, None, :]
     vxn = _cyclic_select(vx, nxt_sel)
     vyn = _cyclic_select(vy, nxt_sel)
     cross = vx * vyn - vxn * vy
-    s = jnp.sum(jnp.where(valid, cross, 0.0), axis=-1)
+    s = jnp.sum(jnp.where(valid, cross, 0.0), axis=0)
     return jnp.where(n >= 3, jnp.abs(s) * 0.5, 0.0)
 
 
 def _clip_area_one(subject: jax.Array, clip: jax.Array) -> jax.Array:
-    vx, vy, n = _sh_clip_quads(subject, clip)
-    return _masked_area(vx, vy, n)
+    batch = subject.shape[:-2]
+    vx, vy, n = _sh_clip_quads_lp(subject, clip)
+    return _masked_area_lp(vx, vy, n).reshape(batch)
+
+
+# ---------------------------------------------------------------------------
+# Convex quad-quad intersection area via Green's theorem (the hot-path kernel)
+# ---------------------------------------------------------------------------
+
+def _cross2(ax, ay, bx, by):
+    return ax * by - ay * bx
+
+
+def _boundary_integral(A: jax.Array, B: jax.Array, tie_pass: bool) -> jax.Array:
+    """sum of cross(p0, p1) over A's edges clipped to convex quad B.
+
+    A, B: [..., 4, 2], consistently wound (CW here; inside = cross <= 0,
+    matching `clipping.rs:12-15`).  Each edge s->e of A is clipped to B with
+    Liang-Barsky (4 halfplane constraints -> a parameter interval [t0, t1]),
+    and contributes cross(p(t0), p(t1)) to the boundary integral of A∩B.
+
+    Collinear-edge tie-break: a segment lying exactly on a halfplane boundary
+    belongs to the *closed* clip in the first pass and, in the second pass
+    (tie_pass=True), only when traversed in the opposite direction — so shared
+    boundary segments of identical boxes are counted once, while the two
+    opposing traversals of a touching edge (zero-area intersection) cancel.
+    """
+    total = jnp.zeros(A.shape[:-2], A.dtype)
+    for i in range(4):
+        sx = A[..., i, 0]
+        sy = A[..., i, 1]
+        ex = A[..., (i + 1) % 4, 0]
+        ey = A[..., (i + 1) % 4, 1]
+        dex = ex - sx
+        dey = ey - sy
+        t0 = jnp.zeros_like(sx)
+        t1 = jnp.ones_like(sx)
+        ok = jnp.ones(sx.shape, bool)
+        for h in range(4):
+            px = B[..., h, 0]
+            py = B[..., h, 1]
+            dx = B[..., (h + 1) % 4, 0] - px
+            dy = B[..., (h + 1) % 4, 1] - py
+            a = _cross2(dx, dy, sx - px, sy - py)  # f(s); inside = a <= 0
+            b = _cross2(dx, dy, dex, dey)  # df along the edge
+            tt = -a / jnp.where(b == 0.0, 1.0, b)
+            t0 = jnp.where(b < 0.0, jnp.maximum(t0, tt), t0)
+            t1 = jnp.where(b > 0.0, jnp.minimum(t1, tt), t1)
+            para_out = (b == 0.0) & (a > 0.0)
+            if tie_pass:
+                same_dir = dx * dex + dy * dey >= 0.0
+                para_out = para_out | ((b == 0.0) & (a == 0.0) & same_dir)
+            ok = ok & ~para_out
+        p0x = sx + t0 * dex
+        p0y = sy + t0 * dey
+        p1x = sx + t1 * dex
+        p1y = sy + t1 * dey
+        contrib = _cross2(p0x, p0y, p1x, p1y)
+        total = total + jnp.where(ok & (t1 > t0), contrib, 0.0)
+    return total
+
+
+def quad_intersection_area(va: jax.Array, vb: jax.Array) -> jax.Array:
+    """Intersection area of two convex quads [..., 4, 2] -> [...].
+
+    Exact same region as the Sutherland-Hodgman clip (`clipping.rs:40-91`)
+    but computed as a boundary integral with per-edge Liang-Barsky clipping:
+    ~700 flops/pair of purely element-wise work with [...]-shaped temporaries,
+    ~10x cheaper on TPU than materializing clipped vertex polygons.
+    """
+    s = _boundary_integral(va, vb, tie_pass=False) + _boundary_integral(
+        vb, va, tie_pass=True
+    )
+    return jnp.abs(s) * 0.5
 
 
 def clip_polygon_quads(subject: jax.Array, clip: jax.Array):
@@ -210,7 +306,7 @@ def rotated_intersection(a: jax.Array, b: jax.Array) -> jax.Array:
     bc = jnp.concatenate([b[..., :2] - mid, b[..., 2:]], axis=-1)
     va = box_vertices(ac)
     vb = box_vertices(bc)
-    area = _clip_area_one(va, vb)
+    area = quad_intersection_area(va, vb)
     return jnp.where(too_far(a, b), 0.0, area)
 
 

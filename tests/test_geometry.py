@@ -151,3 +151,47 @@ def test_aligned_kernel_matches_general_clip():
     ref = np.asarray(G.rotated_intersection(jnp.asarray(a), jnp.asarray(b)))
     fast = np.asarray(G.aligned_intersection(jnp.asarray(a), jnp.asarray(b)))
     np.testing.assert_allclose(fast, ref, rtol=1e-4, atol=1e-3)
+
+
+def test_quad_area_degenerate_cases():
+    """Green's-theorem intersection kernel on measure-zero / duplicate configs.
+
+    These are the configurations where the collinear tie-break matters
+    (identical boxes counted once, touching edges cancel) — the SH clip
+    handled them via its n>=3 check, the boundary-integral kernel via the
+    direction rule in `_boundary_integral`.
+    """
+    # identical axis-aligned boxes -> full area
+    a = vec5(0.0, 0.0, 0.0, 1.0, 2.0)
+    assert abs(float(G.rotated_intersection(a, a)) - 4.0) < 1e-5
+    # identical rotated boxes (bitwise-equal params) -> full area
+    r = vec5(10.0, -3.0, 0.7, 0.6, 8.0)
+    area = float(G.box_area(r))
+    assert abs(float(G.rotated_intersection(r, r)) - area) < 1e-2 * area
+    # edge-touching boxes -> zero
+    b = vec5(2.0, 0.0, 0.0, 1.0, 2.0)
+    assert float(G.rotated_intersection(a, b)) < 1e-5
+    # corner-touching boxes -> zero
+    c = vec5(2.0, 2.0, 0.0, 1.0, 2.0)
+    assert float(G.rotated_intersection(a, c)) < 1e-5
+    # collinear partial overlap (shares top/bottom edge lines) -> exact slab
+    d = vec5(1.0, 0.0, 0.0, 1.0, 2.0)
+    assert abs(float(G.rotated_intersection(a, d)) - 2.0) < 1e-4
+
+
+def test_quad_area_matches_sh_clip_montecarlo():
+    """Boundary-integral area == Sutherland-Hodgman clip area on random pairs."""
+    rng = np.random.default_rng(123)
+    n = 512
+    boxes = np.zeros((2, n, 5), np.float32)
+    for arr in boxes:
+        arr[:, 0] = rng.uniform(-20, 20, n)
+        arr[:, 1] = rng.uniform(-20, 20, n)
+        arr[:, 2] = rng.uniform(0, 2 * np.pi, n)
+        arr[:, 3] = rng.uniform(0.2, 3.0, n)
+        arr[:, 4] = rng.uniform(1, 30, n)
+    va = G.box_vertices(jnp.asarray(boxes[0]))
+    vb = G.box_vertices(jnp.asarray(boxes[1]))
+    green = np.asarray(G.quad_intersection_area(va, vb))
+    sh = np.asarray(G._clip_area_one(va, vb))
+    np.testing.assert_allclose(green, sh, rtol=2e-3, atol=1e-2)
