@@ -33,9 +33,27 @@ def nms_kernel(boxes: jax.Array, ranks: jax.Array, valid: jax.Array, nms_thresho
         earlier & (metric > nms_threshold) & valid[:, None] & valid[None, :]
     )
 
-    def body(i, keep):
-        row = suppress[i] & keep[i]
-        return keep & ~row
+    # Greedy keep[i] = valid[i] & no kept j<i suppressing i.  A fori_loop over
+    # rows is O(N) tiny sequential steps (loop overhead dominates on TPU);
+    # instead run the Jacobi fixpoint keep' = valid & ~any_j(keep[j] & sup[j,i])
+    # — each round settles every box whose suppression chain is one longer, so
+    # it converges to the exact greedy solution in chain-depth rounds
+    # (typically <= 3).  A few rounds run unrolled; a while_loop tail
+    # guarantees the fixpoint on pathological chains.
+    def one(keep):
+        return valid & ~jnp.any(suppress & keep[:, None], axis=0)
 
-    keep = jax.lax.fori_loop(0, n, body, valid)
+    keep = valid
+    for _ in range(4):
+        keep = one(keep)
+
+    def cond(c):
+        keep, prev = c
+        return jnp.any(keep != prev)
+
+    def body(c):
+        keep, _ = c
+        return one(keep), keep
+
+    keep, _ = jax.lax.while_loop(cond, body, (one(keep), keep))
     return keep
