@@ -334,6 +334,18 @@ def main():
             log(f"{name}: {fps:.1f} frames/s (reference "
                 f"{BASELINES[name]:.0f}) [x{fps / BASELINES[name]:.1f}]")
 
+        # pod-scale per-chip configs (BASELINE config 5: 1024 streams; the
+        # multi-chip shard_map path is validated by dryrun_multichip, this
+        # measures the per-chip slice at scale)
+        fps = bench_batch_sort_scan(n_scenes=1024, n_objects=100)
+        results["batch_sort_1024x100_scene_fps"] = fps
+        log(f"batch_sort 1024 scenes x 100 objects: {fps:.1f} scene-frames/s "
+            f"[x{fps / BASELINES['batch_sort_iou_100']:.1f}]")
+        fps = bench_batch_visual_scan(n_scenes=256)
+        results["batch_visual_256x100x512_scene_fps"] = fps
+        log(f"batch_visual 256 scenes x 100 obj x 512d: {fps:.1f} "
+            f"scene-frames/s [x{fps / BASELINES['visual_sort_100x512']:.1f}]")
+
     vscene_fps = bench_batch_visual_scan()
     results["batch_visual_64x100x512_scene_fps"] = vscene_fps
     log(f"batch_visual 64 scenes x 100 obj x 512d: {vscene_fps:.1f} "

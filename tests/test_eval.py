@@ -88,3 +88,33 @@ def test_visual_sequence_device_accuracy():
     assert clear["MOTA"] > 0.75, clear
     assert ident["IDF1"] > 0.75, ident
     assert fps > 0
+
+
+def test_mota_idf1_parity_with_reference_oracle():
+    """North-star accuracy criterion (BASELINE.json): the device tracker's
+    MOTA/IDF1 must be within 0.5 pts of the reference pipeline on the same
+    sequence.  The oracle is the literal NumPy port of the reference SORT
+    (`tests/reference_sort.py`, exact Hungarian + exact metric semantics)."""
+    from reference_sort import RefSort
+
+    from similari_tpu.eval import clear_metrics, identity_metrics
+    from similari_tpu.eval.mot import ltwh_to_vec5, run_sequence_device
+
+    gt, dets = generate_sequence(
+        n_objects=15, n_frames=60, seed=11, p_miss=0.08, fp_per_frame=0.5
+    )
+    pred_dev, _ = run_sequence_device(dets, method="iou", report_observed=True)
+
+    ref = RefSort(method="iou", max_idle_epochs=5)
+    pred_ref = {}
+    for f in sorted(dets):
+        arr = np.asarray(dets[f], np.float32)
+        ids = ref.predict(ltwh_to_vec5(arr), np.clip(arr[:, 4], 0.0, 1.0))
+        pred_ref[f] = [
+            (int(i), *map(float, arr[k, :4])) for k, i in enumerate(ids)
+        ]
+
+    cd, cr = clear_metrics(gt, pred_dev), clear_metrics(gt, pred_ref)
+    idd, idr = identity_metrics(gt, pred_dev), identity_metrics(gt, pred_ref)
+    assert abs(cd["MOTA"] - cr["MOTA"]) <= 0.005, (cd, cr)
+    assert abs(idd["IDF1"] - idr["IDF1"]) <= 0.005, (idd, idr)
