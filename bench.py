@@ -185,7 +185,8 @@ def bench_visual_scan(n_objects=100, feat_dim=512, gallery=3):
                 jnp.ones((n, n_objects), bool),
             )
         stream, feat, ones, tru = streams[n]
-        state = new_visual_state(4 * n_objects, 1, gallery, feat_dim)
+        state = new_visual_state(4 * n_objects, 1, gallery, feat_dim,
+                                 feature_dtype=jnp.bfloat16)
         t0 = time.perf_counter()
         state, out = scan(
             state, stream, ones, tru, feat, tru, ones, ones, jnp.int32(1)
@@ -237,7 +238,7 @@ def bench_batch_visual_scan(n_scenes=64, n_objects=100, feat_dim=512,
             )
         stream, feat, ones, tru = streams[n]
         states = new_batched_visual_state(n_scenes, 2 * n_objects, 1, gallery,
-                                          feat_dim)
+                                          feat_dim, feature_dtype=jnp.bfloat16)
         t0 = time.perf_counter()
         states, out = scan(
             states, stream, ones, tru, feat, tru, ones, ones,

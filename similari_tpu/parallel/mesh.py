@@ -169,9 +169,11 @@ def batched_visual_step(cfg: VisualConfig):
 
 
 def new_batched_visual_state(
-    n_scenes: int, capacity: int, history: int, gallery: int, feature_dim: int
+    n_scenes: int, capacity: int, history: int, gallery: int, feature_dim: int,
+    feature_dtype=jnp.float32,
 ) -> VisualState:
-    one = new_visual_state(capacity, history, gallery, feature_dim)
+    one = new_visual_state(capacity, history, gallery, feature_dim,
+                           feature_dtype=feature_dtype)
     return jax.tree.map(
         lambda a: jnp.broadcast_to(a, (n_scenes,) + a.shape).copy(), one
     )

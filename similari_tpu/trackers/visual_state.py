@@ -63,8 +63,18 @@ class VisualState:
 
 
 def new_visual_state(
-    capacity: int, history: int, gallery: int, feature_dim: int
+    capacity: int,
+    history: int,
+    gallery: int,
+    feature_dim: int,
+    feature_dtype=jnp.float32,
 ) -> VisualState:
+    """feature_dtype: storage dtype of the gallery/feature-history tensors.
+
+    bf16 halves the state-merge HBM traffic (the dominant step cost at
+    512-d features) and is exactly what the bf16 distance matmul already
+    consumes; norms/accumulation stay f32.  Default f32 for strict parity.
+    """
     f = jnp.zeros
     return VisualState(
         kf=empty_state(capacity, 5),
@@ -79,12 +89,12 @@ def new_visual_state(
         hist_pred=f((capacity, history, 5), jnp.float32),
         hist_conf=f((capacity, history), jnp.float32),
         next_id=jnp.int32(0),
-        feats=f((capacity, gallery, feature_dim), jnp.float32),
+        feats=f((capacity, gallery, feature_dim), feature_dtype),
         feat_quality=f((capacity, gallery), jnp.float32),
         feat_valid=f((capacity, gallery), bool),
         collected=f((capacity,), jnp.int32),
         voting_type=jnp.full((capacity,), -1, jnp.int32),
-        hist_feat=f((capacity, history, feature_dim), jnp.float32),
+        hist_feat=f((capacity, history, feature_dim), feature_dtype),
         hist_feat_valid=f((capacity, history), bool),
     )
 
