@@ -18,3 +18,4 @@ from .mesh import (  # noqa: F401
     sharded_visual_step,
 )
 from .gallery import global_gallery_query  # noqa: F401
+from .handoff import track_merge, track_migration  # noqa: F401
