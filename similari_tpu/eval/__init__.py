@@ -10,3 +10,4 @@ from .mot import (  # noqa: F401
     write_csv,
 )
 from .synthetic import generate_sequence  # noqa: F401
+from ..native import load_sequence_soa  # noqa: F401  (C++ MOT csv loader)

@@ -97,26 +97,38 @@ def run_sequence_device(
 ) -> Tuple[Dict[int, List[Tuple[int, float, float, float, float]]], float]:
     """Whole-sequence device pipeline: one transfer in, one scan, one out.
 
+    `detections` may also be a path to a MOT det csv, in which case the
+    native C++ loader (`native.load_sequence_soa`, one pass over the file
+    bytes) produces the padded SoA buffers directly.
+
     Returns (per-frame outputs, frames/sec of pure device time).
     """
     import jax
     import jax.numpy as jnp
 
-    frames = sorted(detections)
-    steps = len(frames)
-    dmax = max(len(detections[f]) for f in frames)
-    dpad = 8
-    while dpad < dmax:
-        dpad *= 2
-    box = np.zeros((steps, dpad, 5), np.float32)
-    conf = np.zeros((steps, dpad), np.float32)
-    valid = np.zeros((steps, dpad), bool)
-    for s, f in enumerate(frames):
-        dets = np.asarray(detections[f], np.float32)
-        n = len(dets)
-        box[s, :n] = ltwh_to_vec5(dets)
-        conf[s, :n] = np.clip(dets[:, 4], 0.0, 1.0)
-        valid[s, :n] = True
+    if isinstance(detections, (str, Path)):
+        from ..native import load_sequence_soa
+
+        frames_arr, box, conf, valid = load_sequence_soa(detections)
+        frames = frames_arr.tolist()
+        steps = len(frames)
+        conf = np.clip(conf, 0.0, 1.0) * valid
+    else:
+        frames = sorted(detections)
+        steps = len(frames)
+        dmax = max(len(detections[f]) for f in frames)
+        dpad = 8
+        while dpad < dmax:
+            dpad *= 2
+        box = np.zeros((steps, dpad, 5), np.float32)
+        conf = np.zeros((steps, dpad), np.float32)
+        valid = np.zeros((steps, dpad), bool)
+        for s, f in enumerate(frames):
+            dets = np.asarray(detections[f], np.float32)
+            n = len(dets)
+            box[s, :n] = ltwh_to_vec5(dets)
+            conf[s, :n] = np.clip(dets[:, 4], 0.0, 1.0)
+            valid[s, :n] = True
 
     cfg = SortConfig(
         method=method,

@@ -17,13 +17,13 @@ from typing import Optional
 
 import numpy as np
 
-_SRC = Path(__file__).parent / "lap.cpp"
+_SRCS = [Path(__file__).parent / "lap.cpp", Path(__file__).parent / "motloader.cpp"]
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 
 def _build_and_load() -> Optional[ctypes.CDLL]:
-    src = _SRC.read_text()
+    src = "".join(s.read_text() for s in _SRCS)
     tag = hashlib.sha256(src.encode()).hexdigest()[:16]
     cache_dir = Path(
         os.environ.get("SIMILARI_TPU_CACHE", Path.home() / ".cache" / "similari_tpu")
@@ -39,7 +39,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             "-fPIC",
             "-std=c++17",
             "-pthread",
-            str(_SRC),
+            *[str(s) for s in _SRCS],
             "-o",
             str(lib_path) + ".tmp",
         ]
@@ -68,6 +68,17 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
     ]
     lib.lap_solve_batch_max.restype = ctypes.c_int
+    lib.mot_load.argtypes = [ctypes.c_char_p]
+    lib.mot_load.restype = ctypes.c_void_p
+    lib.mot_dims.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+    lib.mot_frames.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int32)]
+    lib.mot_fill.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
+    lib.mot_free.argtypes = [ctypes.c_void_p]
     return lib
 
 
@@ -127,3 +138,73 @@ def lap_max_batch(weights: np.ndarray, n_threads: int = 0) -> np.ndarray:
     if err:
         raise RuntimeError(f"lap_solve_batch_max failed: {err}")
     return out
+
+
+def _load_sequence_soa_numpy(path):
+    """Pure-numpy fallback for `load_sequence_soa` (same output contract)."""
+    rows = np.atleast_2d(
+        np.genfromtxt(path, delimiter=",", usecols=range(7), dtype=np.float64,
+                      invalid_raise=False, filling_values=1.0)
+    )
+    rows = rows[~np.isnan(rows[:, 0])]
+    frames = np.unique(rows[:, 0].astype(np.int64))
+    counts = {f: 0 for f in frames}
+    for f in rows[:, 0].astype(np.int64):
+        counts[f] += 1
+    dmax = max(counts.values(), default=1)
+    dpad = 8
+    while dpad < dmax:
+        dpad *= 2
+    nf = len(frames)
+    box = np.zeros((nf, dpad, 5), np.float32)
+    conf = np.zeros((nf, dpad), np.float32)
+    valid = np.zeros((nf, dpad), bool)
+    index = {int(f): i for i, f in enumerate(frames)}
+    cursor = np.zeros((nf,), np.int64)
+    for r in rows:
+        s = index[int(r[0])]
+        i = cursor[s]
+        cursor[s] += 1
+        l, t, w, h = r[2], r[3], r[4], r[5]
+        box[s, i] = (l + w / 2.0, t + h / 2.0, 0.0, w / max(h, 1e-6), h)
+        conf[s, i] = r[6]
+        valid[s, i] = True
+    return frames.astype(np.int32), box, conf, valid
+
+
+def load_sequence_soa(path):
+    """Load a MOTChallenge det/gt CSV as padded SoA device buffers.
+
+    One C++ pass over the file bytes (parse, frame grouping, LTWH->vec5,
+    power-of-two padding); see `motloader.cpp`.  Returns
+    (frames[F] int32 ascending, box[F, dpad, 5] vec5 f32, conf[F, dpad] f32
+    raw, valid[F, dpad] bool) — exactly the layout `run_sequence_device`
+    consumes.  Falls back to numpy when no compiler is available.
+    """
+    lib = _get_lib()
+    if lib is None:
+        return _load_sequence_soa_numpy(path)
+    handle = lib.mot_load(str(path).encode())
+    if not handle:
+        raise FileNotFoundError(path)
+    try:
+        dims = (ctypes.c_int64 * 3)()
+        lib.mot_dims(handle, dims)
+        nf, dpad = int(dims[0]), int(dims[1])
+        frames = np.zeros((nf,), np.int32)
+        box = np.zeros((nf, dpad, 5), np.float32)
+        conf = np.zeros((nf, dpad), np.float32)
+        valid = np.zeros((nf, dpad), np.uint8)
+        if nf:
+            lib.mot_frames(
+                handle, frames.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+            )
+            lib.mot_fill(
+                handle,
+                box.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                conf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                valid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+    finally:
+        lib.mot_free(handle)
+    return frames, box, conf, valid.astype(bool)

@@ -52,3 +52,80 @@ def test_lap_rectangular_tracking_shape():
     assert cols[1] == 1  # loser goes to its diagonal
     assert cols[2] == d + 5
     assert cols[3] == 3
+
+
+def _write_mot_csv(path, rng, frames=12, max_dets=9, gaps=True, trailing=True):
+    """Synthetic MOT det csv: variable per-frame counts, frame gaps, optional
+    x,y,z trailing columns, CRLF mix."""
+    rows = []
+    for f in range(1, frames + 1):
+        if gaps and f % 5 == 0:
+            continue  # frame with no detections at all
+        for _ in range(int(rng.integers(1, max_dets + 1))):
+            l, t = rng.uniform(0, 500, size=2)
+            w, h = rng.uniform(10, 80, size=2)
+            conf = rng.uniform(0.1, 1.0)
+            tail = ",-1,-1,-1" if trailing else ""
+            rows.append(f"{f},-1,{l:.2f},{t:.2f},{w:.2f},{h:.2f},{conf:.4f}{tail}")
+    text = "\r\n".join(rows[: len(rows) // 2]) + "\n" + "\n".join(rows[len(rows) // 2:])
+    path.write_text(text + "\n")
+    return rows
+
+
+def test_mot_loader_matches_python_reader(tmp_path):
+    from similari_tpu.eval.mot import ltwh_to_vec5, read_detections
+
+    rng = np.random.default_rng(7)
+    p = tmp_path / "det.txt"
+    _write_mot_csv(p, rng)
+
+    frames, box, conf, valid = native.load_sequence_soa(p)
+    dets = read_detections(p)
+    assert frames.tolist() == sorted(dets)
+    dmax = max(len(v) for v in dets.values())
+    assert box.shape[1] >= dmax and box.shape[1] % 8 == 0
+    for s, f in enumerate(frames.tolist()):
+        ref = np.asarray(dets[f], np.float32)
+        n = len(ref)
+        assert valid[s, :n].all() and not valid[s, n:].any()
+        np.testing.assert_allclose(box[s, :n], ltwh_to_vec5(ref), rtol=1e-6)
+        np.testing.assert_allclose(conf[s, :n], ref[:, 4], rtol=1e-6)
+        assert (conf[s, n:] == 0).all()
+
+
+def test_mot_loader_fallback_agrees(tmp_path):
+    rng = np.random.default_rng(8)
+    p = tmp_path / "det.txt"
+    _write_mot_csv(p, rng, frames=7, trailing=False)
+    f1, b1, c1, v1 = native.load_sequence_soa(p)
+    f2, b2, c2, v2 = native._load_sequence_soa_numpy(p)
+    np.testing.assert_array_equal(f1, f2)
+    np.testing.assert_allclose(b1, b2, rtol=1e-6)
+    np.testing.assert_allclose(c1, c2, rtol=1e-6)
+    np.testing.assert_array_equal(v1, v2)
+
+
+def test_mot_loader_missing_conf(tmp_path):
+    p = tmp_path / "det.txt"
+    p.write_text("1,-1,10,20,30,40\n1,-1,50,60,20,10,0.5\n2,-1,0,0,8,8,0.25\n")
+    frames, box, conf, valid = native.load_sequence_soa(p)
+    assert frames.tolist() == [1, 2]
+    # missing conf column parses as 1.0 and must NOT swallow the next line
+    assert conf[0, 0] == 1.0 and conf[0, 1] == np.float32(0.5)
+    assert valid[0, :2].all() and valid[1, 0]
+    assert conf[1, 0] == np.float32(0.25)
+    np.testing.assert_allclose(box[0, 0, :2], [10 + 15, 20 + 20])
+
+
+def test_run_sequence_device_from_file(tmp_path):
+    """End-to-end: path input (native loader) == dict input (python reader)."""
+    from similari_tpu.eval.mot import read_detections, run_sequence_device
+
+    rng = np.random.default_rng(9)
+    p = tmp_path / "det.txt"
+    _write_mot_csv(p, rng, frames=6, max_dets=5, gaps=False)
+    out_path, _ = run_sequence_device(p, capacity=64)
+    out_dict, _ = run_sequence_device(read_detections(p), capacity=64)
+    assert out_path.keys() == out_dict.keys()
+    for f in out_path:
+        assert out_path[f] == out_dict[f]
