@@ -44,22 +44,37 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..trackers.visual_state import VisualState
-from .mesh import SCENE_AXIS
+from .mesh import SCENE_AXIS  # noqa: F401  (callers build 1-D scene meshes with it)
+
+
+def _mesh_axes(mesh: Mesh):
+    """All mesh axis names — scenes shard over every axis (1-D scene mesh
+    or 2-D (hosts, devices) pod mesh, see `mesh.pod_scene_spec`)."""
+    return tuple(mesh.axis_names)
+
+
+def _my_shard(mesh: Mesh) -> jax.Array:
+    """Row-major linear shard index over all mesh axes — matches the order
+    scenes are laid out by `P(mesh.axis_names)` sharding."""
+    idx = jnp.int32(0)
+    for a in _mesh_axes(mesh):
+        idx = idx * mesh.shape[a] + jax.lax.axis_index(a).astype(jnp.int32)
+    return idx
 
 
 def _is_track_leaf(leaf: jax.Array, s: int, t: int) -> bool:
     return leaf.ndim >= 2 and leaf.shape[0] == s and leaf.shape[1] == t
 
 
-def _psum_leaf(leaf: jax.Array) -> jax.Array:
+def _psum_leaf(leaf: jax.Array, axes) -> jax.Array:
     """psum that tolerates bool/bf16 leaves (sum of one non-zero contributor)."""
     if leaf.dtype == jnp.bool_:
-        return jax.lax.psum(leaf.astype(jnp.int32), SCENE_AXIS) > 0
+        return jax.lax.psum(leaf.astype(jnp.int32), axes) > 0
     if leaf.dtype == jnp.bfloat16:
-        return jax.lax.psum(leaf.astype(jnp.float32), SCENE_AXIS).astype(
+        return jax.lax.psum(leaf.astype(jnp.float32), axes).astype(
             jnp.bfloat16
         )
-    return jax.lax.psum(leaf, SCENE_AXIS)
+    return jax.lax.psum(leaf, axes)
 
 
 def _extract(state, onehot: jax.Array):
@@ -158,16 +173,20 @@ def track_migration(mesh: Mesh) -> callable:
     Moving within one scene is a no-op concern — use the in-scene store API.
     """
 
+    axes = _mesh_axes(mesh)
+
     def local(state, src_scene, src_track_id, dst_scene, dst_epoch):
         s_local = state.active.shape[0]
         t = state.active.shape[1]
-        my = jax.lax.axis_index(SCENE_AXIS).astype(jnp.int32)
+        my = _my_shard(mesh)
 
         onehot, _ = _source_onehot(state, my, s_local, src_scene, src_track_id)
         found = jax.lax.psum(
-            jnp.any(onehot, axis=(1, 2)).astype(jnp.int32), SCENE_AXIS
+            jnp.any(onehot, axis=(1, 2)).astype(jnp.int32), axes
         ) > 0  # [M]
-        payload = jax.tree.map(_psum_leaf, _extract(state, onehot))
+        payload = jax.tree.map(
+            lambda l: _psum_leaf(l, axes), _extract(state, onehot)
+        )
 
         # --- destination side -------------------------------------------
         dst_shard = dst_scene // s_local
@@ -177,9 +196,7 @@ def track_migration(mesh: Mesh) -> callable:
         free_count = jnp.sum((~state.active).astype(jnp.int32), axis=1)  # [S]
         cap_ok = rank < free_count[jnp.clip(dst_local, 0, s_local - 1)]
         success_local = mine & found & cap_ok
-        success = jax.lax.psum(
-            success_local.astype(jnp.int32), SCENE_AXIS
-        ) > 0
+        success = jax.lax.psum(success_local.astype(jnp.int32), axes) > 0
 
         # r-th free slot per scene, scatter-free: a slot matches move m when
         # its free-rank equals rank[m]
@@ -200,7 +217,7 @@ def track_migration(mesh: Mesh) -> callable:
             next_id[jnp.clip(dst_local, 0, s_local - 1)] + rank + 1,
             0,
         ).astype(jnp.int32)
-        new_ids = jax.lax.psum(new_id_local, SCENE_AXIS)
+        new_ids = jax.lax.psum(new_id_local, axes)
 
         issued = jnp.sum(
             (success_local[:, None] & (dst_local[:, None] == scene_grid.T))
@@ -228,8 +245,8 @@ def track_migration(mesh: Mesh) -> callable:
     mapped = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(SCENE_AXIS), P(), P(), P(), P()),
-        out_specs=(P(SCENE_AXIS), P(), P()),
+        in_specs=(P(axes), P(), P(), P(), P()),
+        out_specs=(P(axes), P(), P()),
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0,))
@@ -256,22 +273,24 @@ def track_merge(mesh: Mesh) -> callable:
     unrelated to the source's).  `success[m]` requires both rows to exist.
     """
 
+    axes = _mesh_axes(mesh)
+
     def local(state: VisualState, src_scene, src_id, dst_scene, dst_id):
         s_local = state.active.shape[0]
-        my = jax.lax.axis_index(SCENE_AXIS).astype(jnp.int32)
+        my = _my_shard(mesh)
 
         src_oh, _ = _source_onehot(state, my, s_local, src_scene, src_id)
         dst_oh, _ = _source_onehot(state, my, s_local, dst_scene, dst_id)
         src_found = jax.lax.psum(
-            jnp.any(src_oh, axis=(1, 2)).astype(jnp.int32), SCENE_AXIS
+            jnp.any(src_oh, axis=(1, 2)).astype(jnp.int32), axes
         ) > 0
         dst_found = jax.lax.psum(
-            jnp.any(dst_oh, axis=(1, 2)).astype(jnp.int32), SCENE_AXIS
+            jnp.any(dst_oh, axis=(1, 2)).astype(jnp.int32), axes
         ) > 0
         success = src_found & dst_found
 
-        src = jax.tree.map(_psum_leaf, _extract(state, src_oh))
-        dst = jax.tree.map(_psum_leaf, _extract(state, dst_oh))
+        src = jax.tree.map(lambda l: _psum_leaf(l, axes), _extract(state, src_oh))
+        dst = jax.tree.map(lambda l: _psum_leaf(l, axes), _extract(state, dst_oh))
 
         # --- merged rows, computed identically on every shard ------------
         # (batched state is [S, T, K, F]; count the gallery axis from the end
@@ -310,8 +329,8 @@ def track_merge(mesh: Mesh) -> callable:
     mapped = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(SCENE_AXIS), P(), P(), P(), P()),
-        out_specs=(P(SCENE_AXIS), P()),
+        in_specs=(P(axes), P(), P(), P(), P()),
+        out_specs=(P(axes), P()),
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0,))

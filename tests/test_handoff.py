@@ -226,3 +226,28 @@ def test_migration_works_on_visual_state():
     assert feats[0, 0] == 50.0 and feats[1, 0] == 51.0  # gallery travelled
     assert np.asarray(state2.feat_valid)[2, sl[0]].all()
     assert np.asarray(state2.collected)[2, sl[0]] == 2
+
+
+def test_migration_on_2d_pod_mesh():
+    """Handoff across the (hosts, devices) pod mesh — DCN-crossing move."""
+    from jax.sharding import NamedSharding
+    from similari_tpu.parallel import pod_mesh, pod_scene_spec
+
+    mesh = pod_mesh(n_hosts=4, devices_per_host=2)
+    s, t = 16, 4  # 2 scenes per shard, 8 shards
+    rng = np.random.default_rng(6)
+    state = _populate_sort(new_batched_state(s, t, 2), scene=0,
+                           slots=[1], ids=[3], rng=rng)
+    sharding = NamedSharding(mesh, pod_scene_spec())
+    state = jax.tree.map(lambda a: jax.device_put(a, sharding), state)
+
+    migrate = track_migration(mesh)
+    m = lambda v: jnp.asarray(v, jnp.int32)
+    # scene 0 lives on (host 0, dev 0); scene 15 on (host 3, dev 1)
+    state2, success, new_ids = migrate(state, m([0]), m([3]), m([15]), m([4]))
+    assert np.asarray(success).tolist() == [True]
+    active = np.asarray(state2.active)
+    assert not active[0, 1] and active[15].sum() == 1
+    sl = int(np.flatnonzero(active[15])[0])
+    assert np.asarray(state2.track_id)[15, sl] == 1
+    assert np.asarray(state2.last_epoch)[15, sl] == 4
