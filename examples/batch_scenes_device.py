@@ -4,6 +4,8 @@ This is the capability the reference cannot express: the whole multi-scene
 batch steps as a single jitted scan on the accelerator.
 """
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -12,7 +14,10 @@ from similari_tpu.parallel import batched_sort_scan, new_batched_state
 from similari_tpu.trackers.sort_step import SortConfig
 
 if __name__ == "__main__":
-    scenes, objects, frames = 64, 50, 32
+    if os.environ.get("SIMILARI_EXAMPLE_FAST"):  # CI smoke: small, compile-friendly
+        scenes, objects, frames = 8, 16, 8
+    else:
+        scenes, objects, frames = 64, 50, 32
     cfg = SortConfig(method="iou", assignment="auction", max_idle_epochs=5)
     scan = jax.jit(batched_sort_scan(cfg), donate_argnums=(0,))
 

@@ -18,6 +18,7 @@ def test_example_runs(name):
     root = pathlib.Path(__file__).parent.parent
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    env["SIMILARI_EXAMPLE_FAST"] = "1"
     env["PYTHONPATH"] = str(root) + os.pathsep + env.get("PYTHONPATH", "")
     proc = subprocess.run(
         [sys.executable, str(root / "examples" / name)],
