@@ -18,6 +18,10 @@ def test_example_runs(name):
     root = pathlib.Path(__file__).parent.parent
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
+    # The dev image's sitecustomize eagerly claims a TPU session through the
+    # tunnel when this var is set; example subprocesses run on CPU and would
+    # otherwise block (minutes) on the chip grant held by this pytest process.
+    env.pop("PALLAS_AXON_POOL_IPS", None)
     env["SIMILARI_EXAMPLE_FAST"] = "1"
     env["PYTHONPATH"] = str(root) + os.pathsep + env.get("PYTHONPATH", "")
     proc = subprocess.run(
