@@ -72,6 +72,74 @@ def too_far(a, b):
     return (a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2 > md * md
 
 
+def box_vertices(z):
+    """Rotated-rect corners, f64, reference order (`bbox.rs:287-330`)."""
+    c, s = np.cos(float(z[2])), np.sin(float(z[2]))
+    hw = float(z[3]) * float(z[4]) * 0.5
+    hh = float(z[4]) * 0.5
+    r1 = (-hw * c - hh * s, -hw * s + hh * c)
+    r2 = (hw * c - hh * s, hw * s + hh * c)
+    x, y = float(z[0]), float(z[1])
+    return [
+        (x + r1[0], y + r1[1]),
+        (x + r2[0], y + r2[1]),
+        (x - r1[0], y - r1[1]),
+        (x - r2[0], y - r2[1]),
+    ]
+
+
+def _sh_clip(subject, clip):
+    """Sutherland–Hodgman polygon clipping in f64 (`clipping.rs:12-91`)."""
+    def inside(p, a, b):
+        return (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0]) >= 0
+
+    def isect(p1, p2, a, b):
+        dc = (a[0] - b[0], a[1] - b[1])
+        dp = (p1[0] - p2[0], p1[1] - p2[1])
+        n1 = a[0] * b[1] - a[1] * b[0]
+        n2 = p1[0] * p2[1] - p1[1] * p2[0]
+        n3 = 1.0 / (dc[0] * dp[1] - dc[1] * dp[0])
+        return ((n1 * dp[0] - n2 * dc[0]) * n3, (n1 * dp[1] - n2 * dc[1]) * n3)
+
+    out = list(subject)
+    a = clip[-1]
+    for b in clip:
+        src, out = out, []
+        if not src:
+            return []
+        p1 = src[-1]
+        for p2 in src:
+            if inside(p2, a, b):
+                if not inside(p1, a, b):
+                    out.append(isect(p1, p2, a, b))
+                out.append(p2)
+            elif inside(p1, a, b):
+                out.append(isect(p1, p2, a, b))
+            p1 = p2
+        a = b
+    return out
+
+
+def _shoelace(pts):
+    area = 0.0
+    for i in range(len(pts)):
+        x1, y1 = pts[i]
+        x2, y2 = pts[(i + 1) % len(pts)]
+        area += x1 * y2 - x2 * y1
+    return abs(area) / 2.0
+
+
+def poly_iou(a, b):
+    """Rotated-box IoU via the general clip path (`bbox.rs:476-535`)."""
+    if too_far(a, b):
+        return 0.0
+    inter = _shoelace(_sh_clip(box_vertices(a), box_vertices(b)))
+    area_a = float(a[3]) * float(a[4]) * float(a[4])
+    area_b = float(b[3]) * float(b[4]) * float(b[4])
+    union = area_a + area_b - inter
+    return inter / union if union > 0 else 0.0
+
+
 def rect_iou(a, b):
     """Axis-aligned IoU via (xc, yc, angle=0, aspect, h) boxes."""
     def ltwh(z):
@@ -116,8 +184,9 @@ class RefSort:
     """Oracle SORT: axis-aligned boxes only (angle==0)."""
 
     def __init__(self, method="iou", threshold=0.3, min_confidence=0.05,
-                 max_idle_epochs=5):
+                 max_idle_epochs=5, oriented=False):
         self.method = method
+        self.oriented = oriented
         self.threshold = threshold
         self.min_confidence = min_confidence
         self.max_idle = max_idle_epochs
@@ -148,7 +217,9 @@ class RefSort:
                 if too_far(boxes[i], track.pred):
                     continue
                 if self.method == "iou":
-                    iou = rect_iou(boxes[i], track.pred)
+                    iou = (poly_iou if self.oriented else rect_iou)(
+                        boxes[i], track.pred
+                    )
                     if iou <= 0.0:
                         continue
                     m = iou * conf

@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 from scipy.optimize import linear_sum_assignment
 
-from reference_sort import RefKF, rect_iou, too_far
+from reference_sort import CHI2_GATE, CHI2_UPPER, RefKF, rect_iou, too_far
 
 
 class RefVisualTrack:
@@ -53,6 +53,7 @@ class RefVisualSort:
     def __init__(
         self,
         iou_threshold=0.3,
+        positional_kind="iou",
         positional_min_confidence=0.1,
         visual_kind="euclidean",
         visual_threshold=1e30,
@@ -64,7 +65,8 @@ class RefVisualSort:
         min_votes=1,
         max_idle_epochs=5,
     ):
-        self.thr = iou_threshold
+        self.pkind = positional_kind
+        self.thr = iou_threshold if positional_kind == "iou" else 1.0
         self.pmc = positional_min_confidence
         self.vkind = visual_kind
         self.vthr = visual_threshold
@@ -157,13 +159,18 @@ class RefVisualSort:
                     continue
                 if too_far(boxes[i], track.pred):
                     continue
-                iou = rect_iou(boxes[i], track.pred)
-                if iou <= 0.0:
-                    continue
-                m = iou * conf
-                if m < self.thr:
-                    m = 0.0
-                W[i, d + j] = m
+                if self.pkind == "iou":
+                    iou = rect_iou(boxes[i], track.pred)
+                    if iou <= 0.0:
+                        continue
+                    m = iou * conf
+                    if m < self.thr:
+                        m = 0.0
+                    W[i, d + j] = m
+                else:
+                    dist = self.kf.distance(track.mean, track.cov, boxes[i])
+                    cost = 0.0 if dist > CHI2_GATE else CHI2_UPPER - dist
+                    W[i, d + j] = cost / conf
         rr, cc = linear_sum_assignment(W, maximize=True)
         assign = dict(zip(rr.tolist(), cc.tolist()))
 

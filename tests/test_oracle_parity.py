@@ -13,10 +13,16 @@ from reference_sort import RefSort
 from similari_tpu.trackers import PositionalMetricType, Sort
 
 
-def run_stream(method, seed, n_objects, steps, density=200.0, drop_prob=0.0):
+def run_stream(method, seed, n_objects, steps, density=200.0, drop_prob=0.0,
+               oriented=False):
     rng = np.random.default_rng(seed)
     xy = rng.uniform(0, density, size=(n_objects, 2)).astype(np.float32)
     wh = rng.uniform(20, 40, size=(n_objects, 2)).astype(np.float32)
+    ang = (
+        rng.uniform(0.05, 1.2, size=n_objects).astype(np.float32)
+        if oriented
+        else np.zeros(n_objects, np.float32)
+    )
 
     dev = Sort(
         shards=1,
@@ -29,19 +35,22 @@ def run_stream(method, seed, n_objects, steps, density=200.0, drop_prob=0.0):
         ),
         assignment_backend="hungarian",
     )
-    ref = RefSort(method=method, max_idle_epochs=5)
+    ref = RefSort(method=method, max_idle_epochs=5, oriented=oriented)
 
     mismatches = 0
     total = 0
     for step in range(steps):
         xy += rng.uniform(-3, 3, size=xy.shape).astype(np.float32)
         wh += rng.uniform(-0.3, 0.3, size=wh.shape).astype(np.float32)
+        if oriented:
+            ang += rng.uniform(-0.05, 0.05, size=ang.shape).astype(np.float32)
         keep = rng.uniform(size=n_objects) >= drop_prob
         if not keep.any():
             continue
         boxes = np.zeros((int(keep.sum()), 5), np.float32)
         boxes[:, 0] = xy[keep, 0]
         boxes[:, 1] = xy[keep, 1]
+        boxes[:, 2] = ang[keep]
         boxes[:, 3] = wh[keep, 0] / wh[keep, 1]
         boxes[:, 4] = wh[keep, 1]
         confs = np.ones(boxes.shape[0], np.float32)
@@ -57,6 +66,17 @@ def run_stream(method, seed, n_objects, steps, density=200.0, drop_prob=0.0):
 @pytest.mark.parametrize("seed", [0, 1])
 def test_sparse_scene_exact(method, seed):
     mism, total = run_stream(method, seed, n_objects=12, steps=12, density=400.0)
+    assert mism == 0, f"{mism}/{total} id mismatches"
+
+
+@pytest.mark.parametrize("seed", [0, 2])
+def test_oriented_scene_exact(seed):
+    """Rotated boxes end-to-end: device Green's-theorem IoU kernel vs an
+    independent f64 Sutherland–Hodgman oracle (`bbox.rs:476-535`); the KF
+    tracks the angle component through the same 5-dim state."""
+    mism, total = run_stream(
+        "iou", seed, n_objects=12, steps=12, density=400.0, oriented=True
+    )
     assert mism == 0, f"{mism}/{total} id mismatches"
 
 

@@ -17,7 +17,9 @@ from similari_tpu.trackers.sort import VotingType
 
 
 def run_stream(seed, n_objects, steps, feat_dim=16, p_feat=0.8,
-               quality_lo=0.4, mtl=2, min_votes=1, q_use=0.5, q_collect=0.6):
+               quality_lo=0.4, mtl=2, min_votes=1, q_use=0.5, q_collect=0.6,
+               visual_kind="euclidean", visual_threshold=2.0,
+               positional_kind="iou"):
     rng = np.random.default_rng(seed)
     xy = rng.uniform(0, 400, size=(n_objects, 2)).astype(np.float32)
     identities = rng.normal(size=(n_objects, feat_dim)).astype(np.float32) * 3
@@ -26,8 +28,16 @@ def run_stream(seed, n_objects, steps, feat_dim=16, p_feat=0.8,
         VisualSortOptions()
         .max_idle_epochs(5)
         .kept_history_length(1)
-        .visual_metric(VisualSortMetricType.euclidean(2.0))
-        .positional_metric(PositionalMetricType.iou(0.3))
+        .visual_metric(
+            VisualSortMetricType.euclidean(visual_threshold)
+            if visual_kind == "euclidean"
+            else VisualSortMetricType.cosine(visual_threshold)
+        )
+        .positional_metric(
+            PositionalMetricType.iou(0.3)
+            if positional_kind == "iou"
+            else PositionalMetricType.maha()
+        )
         .visual_minimal_track_length(mtl)
         .visual_minimal_quality_use(q_use)
         .visual_minimal_quality_collect(q_collect)
@@ -37,8 +47,9 @@ def run_stream(seed, n_objects, steps, feat_dim=16, p_feat=0.8,
     dev = VisualSort(1, opts, assignment_backend="hungarian")
     ref = RefVisualSort(
         iou_threshold=0.3,
-        visual_kind="euclidean",
-        visual_threshold=2.0,
+        positional_kind=positional_kind,
+        visual_kind=visual_kind,
+        visual_threshold=visual_threshold,
         minimal_track_length=mtl,
         quality_use=q_use,
         quality_collect=q_collect,
@@ -89,6 +100,29 @@ def run_stream(seed, n_objects, steps, feat_dim=16, p_feat=0.8,
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_visual_step_matches_oracle(seed):
     mid, mvt, total = run_stream(seed, n_objects=10, steps=10)
+    assert mid == 0, f"{mid}/{total} id mismatches"
+    assert mvt <= 0.02 * total, f"{mvt}/{total} voting-type mismatches"
+
+
+@pytest.mark.parametrize("seed", [0, 3])
+def test_visual_cosine_matches_oracle(seed):
+    """Cosine ReID metric (`VisualSortMetricType::Cosine`,
+    `visual_sort/metric.rs:52-65`): similarity-thresholded, weight = 1 - sim."""
+    mid, mvt, total = run_stream(
+        seed, n_objects=10, steps=10,
+        visual_kind="cosine", visual_threshold=0.7,
+    )
+    assert mid == 0, f"{mid}/{total} id mismatches"
+    assert mvt <= 0.02 * total, f"{mvt}/{total} voting-type mismatches"
+
+
+@pytest.mark.parametrize("seed", [0, 4])
+def test_visual_maha_positional_matches_oracle(seed):
+    """Mahalanobis positional fallback (`PositionalMetricType::Mahalanobis`,
+    `sort/metric.rs:58-72` via the visual cascade's second stage)."""
+    mid, mvt, total = run_stream(
+        seed, n_objects=10, steps=10, positional_kind="maha",
+    )
     assert mid == 0, f"{mid}/{total} id mismatches"
     assert mvt <= 0.02 * total, f"{mvt}/{total} voting-type mismatches"
 
