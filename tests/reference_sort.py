@@ -91,7 +91,11 @@ def box_vertices(z):
 def _sh_clip(subject, clip):
     """Sutherland–Hodgman polygon clipping in f64 (`clipping.rs:12-91`)."""
     def inside(p, a, b):
-        return (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0]) >= 0
+        # Clockwise vertex order (box_vertices matches `bbox.rs:287-330`), so a
+        # point is inside the clip edge when the cross product is <= 0 — the
+        # reference's exact test (`clipping.rs:12-15`).  Round 1 shipped this
+        # with the sign flipped, which clipped every polygon to empty.
+        return (b[0] - a[0]) * (p[1] - a[1]) - (b[1] - a[1]) * (p[0] - a[0]) <= 0
 
     def isect(p1, p2, a, b):
         dc = (a[0] - b[0], a[1] - b[1])

@@ -69,6 +69,37 @@ def test_sparse_scene_exact(method, seed):
     assert mism == 0, f"{mism}/{total} id mismatches"
 
 
+def test_oracle_self_check_poly_iou():
+    """A broken oracle must never masquerade as a device regression: the f64
+    SH oracle must satisfy iou(b, b) == 1 and agree with the device
+    Green's-theorem kernel on random rotated pairs (`bbox.rs:476-535`)."""
+    import jax.numpy as jnp
+
+    from reference_sort import poly_iou
+    from similari_tpu.ops.geometry import universal_iou_matrix
+
+    rng = np.random.default_rng(42)
+    boxes = np.zeros((64, 5), np.float32)
+    boxes[:, 0:2] = rng.uniform(0, 60, size=(64, 2))
+    boxes[:, 2] = rng.uniform(0, 2 * np.pi, size=64)
+    boxes[:, 3] = rng.uniform(0.3, 3.0, size=64)
+    boxes[:, 4] = rng.uniform(5, 30, size=64)
+
+    for b in boxes[:8]:
+        assert abs(poly_iou(b, b) - 1.0) < 1e-9, "oracle iou(b,b) != 1"
+
+    iou, _valid = universal_iou_matrix(
+        jnp.asarray(boxes), jnp.asarray(boxes), oriented=True
+    )
+    dev = np.asarray(iou)
+    for i in range(16):
+        for j in range(16):
+            ref = poly_iou(boxes[i], boxes[j])
+            assert abs(dev[i, j] - ref) < 1e-3, (
+                f"device vs oracle IoU mismatch at ({i},{j}): {dev[i,j]} vs {ref}"
+            )
+
+
 @pytest.mark.parametrize("seed", [0, 2])
 def test_oriented_scene_exact(seed):
     """Rotated boxes end-to-end: device Green's-theorem IoU kernel vs an
@@ -76,6 +107,17 @@ def test_oriented_scene_exact(seed):
     tracks the angle component through the same 5-dim state."""
     mism, total = run_stream(
         "iou", seed, n_objects=12, steps=12, density=400.0, oriented=True
+    )
+    assert mism == 0, f"{mism}/{total} id mismatches"
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_oriented_maha_scene_exact(seed):
+    """Oriented boxes under the Mahalanobis metric: the KF carries the angle
+    in dim 2 of the 5-dim observed state (`kalman_2d_box.rs:86-148`), and the
+    gate/cost pipeline is angle-agnostic apart from the state itself."""
+    mism, total = run_stream(
+        "maha", seed, n_objects=12, steps=12, density=400.0, oriented=True
     )
     assert mism == 0, f"{mism}/{total} id mismatches"
 
