@@ -1,1 +1,1 @@
-from . import assignment, distances, geometry, kalman  # noqa: F401
+from . import assignment, distances, geometry, kalman, ownarea  # noqa: F401

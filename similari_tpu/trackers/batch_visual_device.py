@@ -128,7 +128,10 @@ class VisualSceneBatchEngine:
         )
         self._ensure_feature_dim(fdim)
 
-        use_own_area = self.cfg.own_area_use + self.cfg.own_area_collect > 0.0
+        # device own-area backend computes shares inside the vmapped step
+        use_own_area = (
+            self.cfg.own_area_use + self.cfg.own_area_collect > 0.0
+        ) and self.cfg.own_area_backend == "host"
         s = self.S
         box = np.zeros((s, dpad, 5), np.float32)
         conf = np.zeros((s, dpad), np.float32)

@@ -69,6 +69,9 @@ class VisualSortOptions:
         self._visual_min_votes = 1
         self._own_area_use = 0.0
         self._own_area_collect = 0.0
+        self._own_area_backend = "device"
+        self._own_area_order = 3
+        self._own_area_neighbors = 8
         self._positional_min_confidence = 0.1
         self._kalman_position_weight = 1.0 / 20.0
         self._kalman_velocity_weight = 1.0 / 160.0
@@ -147,6 +150,16 @@ class VisualSortOptions:
         self._kalman_velocity_weight = float(w)
         return self
 
+    def own_area_backend(self, backend: str, order: int = 3, neighbors: int = 8):
+        """Where own-area shares are computed: "device" (fused into the
+        jitted step, ops/ownarea.py) or "host" (exact f64 oracle,
+        utils/clipping.py).  Beyond the reference surface."""
+        assert backend in ("device", "host"), backend
+        self._own_area_backend = backend
+        self._own_area_order = int(order)
+        self._own_area_neighbors = int(neighbors)
+        return self
+
     def _build_config(self) -> VisualConfig:
         # invariant check, `metric/builder.rs:134-140`
         assert (
@@ -167,6 +180,9 @@ class VisualSortOptions:
             visual_min_votes=self._visual_min_votes,
             own_area_use=self._own_area_use,
             own_area_collect=self._own_area_collect,
+            own_area_backend=self._own_area_backend,
+            own_area_order=self._own_area_order,
+            own_area_neighbors=self._own_area_neighbors,
             max_idle_epochs=self._max_idle_epochs,
             constraints=self._stc.as_tuple(),
             position_weight=self._kalman_position_weight,
@@ -327,8 +343,12 @@ class VisualSort:
             return []
 
         d = len(observations)
-        # own-area percentages when gating is enabled (`simple_api.rs:111-127`)
-        use_own_area = self._cfg.own_area_use + self._cfg.own_area_collect > 0.0
+        # own-area percentages when gating is enabled (`simple_api.rs:111-127`);
+        # with the device backend the shares are computed inside the jitted
+        # step itself (ops/ownarea.py) and the host passes neutral ones.
+        use_own_area = (
+            self._cfg.own_area_use + self._cfg.own_area_collect > 0.0
+        ) and self._cfg.own_area_backend == "host"
         if use_own_area:
             own_area = np.asarray(
                 exclusively_owned_areas_normalized_shares(

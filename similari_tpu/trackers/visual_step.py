@@ -33,6 +33,7 @@ from ..ops import distances as dst
 from ..ops import geometry as geo
 from ..ops import kalman as kal
 from ..ops import merge as mrg
+from ..ops import ownarea as owna
 from .constraints import allowed_distance_for_delta
 from .sort_step import MAHALANOBIS_NEW_TRACK_THRESHOLD
 from .visual_state import VisualState
@@ -59,6 +60,14 @@ class VisualConfig:
     visual_min_votes: int = 1
     own_area_use: float = 0.0
     own_area_collect: float = 0.0
+    # own-area computation: "device" evaluates the exclusively-owned shares
+    # inside the jitted step (ops/ownarea.py — no host polygon work per
+    # frame); "host" expects the caller to pass precomputed f64 shares
+    # (utils/clipping.py, the exact oracle).  Order/neighbors bound the
+    # device inclusion-exclusion expansion (see ops/ownarea.py docstring).
+    own_area_backend: str = "device"
+    own_area_order: int = 3
+    own_area_neighbors: int = 8
     max_idle_epochs: int = 2
     constraints: Tuple[Tuple[int, float], ...] = ()
     position_weight: float = kal.DEFAULT_POSITION_WEIGHT
@@ -181,6 +190,18 @@ def visual_step(
 
     compat = _compat_matrix(cfg, state, det_box, epoch)
     P, p_valid = positional_weights(cfg, state, det_box, det_conf, compat)
+
+    # own-area shares over the frame's detection set (`simple_api.rs:111-127`)
+    # — fused into the step when the device backend is selected
+    if (
+        cfg.own_area_use > 0.0 or cfg.own_area_collect > 0.0
+    ) and cfg.own_area_backend == "device":
+        det_own_area = owna.own_area_shares(
+            det_box,
+            det_valid,
+            order=cfg.own_area_order,
+            neighbors=cfg.own_area_neighbors,
+        )
 
     # candidate-side feature gates (`visual_sort/metric.rs:227-249`)
     area_ok = geo.box_area(det_box) >= cfg.visual_minimal_area
