@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Interactive (per-call) API latency — the reference's own benchmark shape.
+
+The reference's published Python numbers are per-call `Sort.predict` latencies
+(`/root/reference/assets/documentation/python/api.md:250-269`: 0.149 ms at 10
+objects ... 53.1 ms at 1000, single stream, warm process).  The device-
+resident scan pipelines in bench.py measure a different operating point
+(throughput); this script measures the same per-call point for our host API.
+
+It runs on CPU-jax ON PURPOSE: the dev TPU sits behind a ~30 ms-RTT tunnel,
+so a per-call TPU number would measure the tunnel, not the tracker (a
+production-attached TPU pays ~10 us dispatch; see ARCHITECTURE.md §6).  The
+CPU number is directly comparable to the reference's CPU number.
+
+Measures the warm path: first call per (config, padded-shape) compiles and is
+excluded; reported latency is the median of `--reps` warm calls.
+
+Output: table on stderr, one JSON line on stdout.
+"""
+
+import argparse
+import json
+import statistics
+import sys
+import time
+
+import numpy as np
+
+# ms/prediction from api.md:250-257 (Similari) and :262-269 (abewley/sort)
+REFERENCE_MS = {10: 0.149, 100: 1.660, 200: 4.895, 300: 8.991, 500: 17.432,
+                1000: 53.098}
+ABEWLEY_MS = {10: 1.588, 100: 11.976, 200: 25.160, 300: 40.922, 500: 74.254,
+              1000: 162.037}
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--objects", type=int, nargs="*",
+                    default=[10, 100, 200, 300, 500, 1000])
+    ap.add_argument("--frames", type=int, default=50)
+    ap.add_argument("--reps", type=int, default=50)
+    args = ap.parse_args()
+
+    import jax
+
+    # env vars alone don't work: jax is preimported with the axon TPU backend
+    jax.config.update("jax_platforms", "cpu")
+
+    from similari_tpu.trackers import PositionalMetricType, Sort
+
+    log(f"platform={jax.default_backend()} (per-call latency, warm path)")
+    rows = {}
+    for n in args.objects:
+        rng = np.random.default_rng(1)
+        xy = rng.uniform(0, 2000, (n, 2)).astype(np.float32)
+        wh = rng.uniform(30, 60, (n, 2)).astype(np.float32)
+
+        tracker = Sort(
+            shards=1,
+            bbox_history=1,
+            max_idle_epochs=5,
+            method=PositionalMetricType.iou(0.3),
+        )
+
+        def frame():
+            nonlocal xy
+            xy = xy + rng.uniform(-2, 2, xy.shape).astype(np.float32)
+            boxes = np.zeros((n, 5), np.float32)
+            boxes[:, :2] = xy
+            boxes[:, 3] = wh[:, 0] / wh[:, 1]
+            boxes[:, 4] = wh[:, 1]
+            return boxes, np.ones((n,), np.float32)
+
+        # warm up: fills the store to steady state and compiles the step
+        for _ in range(5):
+            tracker.predict_arrays(0, *frame())
+
+        times = []
+        for _ in range(args.reps):
+            boxes, confs = frame()
+            t0 = time.perf_counter()
+            tracker.predict_arrays(0, boxes, confs)
+            times.append(time.perf_counter() - t0)
+        ms = statistics.median(times) * 1e3
+        rows[f"sort_{n}_ms"] = round(ms, 3)
+        ref = REFERENCE_MS.get(n)
+        ab = ABEWLEY_MS.get(n)
+        cmp = (f"  reference {ref:.3f} ms [x{ref / ms:.2f}], "
+               f"abewley {ab:.3f} ms [x{ab / ms:.2f}]" if ref else "")
+        log(f"{n:5d} objects: {ms:8.3f} ms/predict ({1e3 / ms:8.1f} FPS){cmp}")
+
+    print(json.dumps({
+        "metric": "interactive_sort_latency_ms",
+        "platform": "cpu",
+        "rows": rows,
+    }))
+
+
+if __name__ == "__main__":
+    main()

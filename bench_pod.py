@@ -1,0 +1,226 @@
+#!/usr/bin/env python
+"""Multi-chip scaling-efficiency harness (north-star config 5 readiness).
+
+Given any device mesh, measures batch-tracker throughput at n = 1, 2, 4, … N
+devices with a FIXED per-device workload (weak scaling: `--scenes-per-device`
+scenes of `--objects` objects each), and reports scenes/sec/device plus
+scaling efficiency vs n=1.  SORT scenes are isolated realms, so the compiled
+program's only collective is the psum'd new-track counter — efficiency < 1
+exposes dispatch/collective overhead, not algorithmic coupling.
+
+Runs today on:
+  * the virtual CPU mesh:  `python bench_pod.py --platform cpu --devices 8`
+    (correctness + plumbing; absolute numbers are CPU-speed)
+  * one real TPU chip:     `python bench_pod.py`           (n=1 row only)
+  * a real pod slice, the moment one exists — same command, no changes.
+
+Timing uses the fetch-synced scan-length differencing from bench.py
+(the only honest method through the dev tunnel — see ARCHITECTURE.md §6).
+
+Output: a table on stderr, one JSON line on stdout.
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def per_step_time(run, n_small, n_big, reps=3):
+    import statistics
+
+    run(n_small)
+    run(n_big)
+    ts, tb = [], []
+    for _ in range(reps):
+        ts.append(run(n_small))
+        tb.append(run(n_big))
+    return (statistics.median(tb) - statistics.median(ts)) / (n_big - n_small)
+
+
+def box_stream(steps, n, seed=42, spread=1000.0):
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(0, spread, size=(n, 2)).astype(np.float32)
+    wh = rng.uniform(30, 60, size=(n, 2)).astype(np.float32)
+    out = np.zeros((steps, n, 5), np.float32)
+    for s in range(steps):
+        xy += rng.uniform(-2, 2, size=xy.shape).astype(np.float32)
+        wh += rng.uniform(-0.5, 0.5, size=wh.shape).astype(np.float32)
+        out[s, :, 0] = xy[:, 0]
+        out[s, :, 1] = xy[:, 1]
+        out[s, :, 3] = wh[:, 0] / wh[:, 1]
+        out[s, :, 4] = wh[:, 1]
+    return out
+
+
+def measure_sort(mesh, n_dev, scenes, objects, n_small, n_big):
+    import jax.numpy as jnp
+
+    from similari_tpu.parallel import (
+        new_batched_state,
+        shard_batched_state,
+        sharded_sort_scan,
+    )
+    from similari_tpu.trackers.sort_step import SortConfig
+
+    cfg = SortConfig(method="iou", assignment="auction", max_idle_epochs=5,
+                     oriented=False)
+    scan = sharded_sort_scan(cfg, mesh)
+    streams = {}
+
+    def run(n):
+        if n not in streams:
+            flat = box_stream(n, scenes * objects)
+            streams[n] = (
+                jnp.asarray(flat.reshape(n, scenes, objects, 5)),
+                jnp.ones((n, scenes, objects), jnp.float32),
+                jnp.ones((n, scenes, objects), bool),
+            )
+        stream, conf, valid = streams[n]
+        states = shard_batched_state(
+            new_batched_state(scenes, 2 * objects, 1), mesh
+        )
+        t0 = time.perf_counter()
+        states, ids, total_new = scan(
+            states, stream, conf, valid, jnp.ones((scenes,), jnp.int32)
+        )
+        np.asarray(total_new)  # true sync (d2h fetch)
+        return time.perf_counter() - t0
+
+    return scenes / per_step_time(run, n_small, n_big)
+
+
+def measure_visual(mesh, n_dev, scenes, objects, feat_dim, n_small, n_big):
+    import jax.numpy as jnp
+
+    from similari_tpu.parallel import (
+        new_batched_visual_state,
+        shard_batched_state,
+        sharded_visual_scan,
+    )
+    from similari_tpu.trackers.visual_step import VisualConfig
+
+    cfg = VisualConfig(
+        positional_kind="iou", visual_kind="euclidean",
+        visual_threshold=100.0, visual_minimal_track_length=3,
+        max_idle_epochs=5, assignment="auction", oriented=False,
+        feature_precision="bf16",
+    )
+    scan = sharded_visual_scan(cfg, mesh)
+    rng = np.random.default_rng(0)
+    streams = {}
+
+    def run(n):
+        if n not in streams:
+            flat = box_stream(n, scenes * objects)
+            streams[n] = (
+                jnp.asarray(flat.reshape(n, scenes, objects, 5)),
+                jnp.ones((n, scenes, objects), jnp.float32),
+                jnp.ones((n, scenes, objects), bool),
+                jnp.asarray(rng.normal(
+                    size=(n, scenes, objects, feat_dim)).astype(np.float32)),
+            )
+        stream, conf, valid, feat = streams[n]
+        states = shard_batched_state(
+            new_batched_visual_state(scenes, 2 * objects, 1, 3, feat_dim,
+                                     feature_dtype=jnp.bfloat16),
+            mesh,
+        )
+        t0 = time.perf_counter()
+        states, ids, total_new = scan(
+            states, stream, conf, valid, feat, valid, conf, conf,
+            jnp.ones((scenes,), jnp.int32),
+        )
+        np.asarray(total_new)  # true sync
+        return time.perf_counter() - t0
+
+    return scenes / per_step_time(run, n_small, n_big)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
+    ap.add_argument("--devices", type=int, default=None,
+                    help="max devices (default: all available)")
+    ap.add_argument("--scenes-per-device", type=int, default=32)
+    ap.add_argument("--objects", type=int, default=100)
+    ap.add_argument("--feat-dim", type=int, default=128)
+    ap.add_argument("--tracker", default="both",
+                    choices=["sort", "visual", "both"])
+    ap.add_argument("--steps", type=int, nargs=2, default=(2, 16),
+                    metavar=("SMALL", "BIG"))
+    args = ap.parse_args()
+
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_CACHE_DIR", "/root/.cache/jax_similari"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    if args.platform == "cpu":
+        # must happen before device queries; env vars alone don't work here
+        # (jax is preimported with the axon TPU backend)
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.devices or 8)
+
+    from similari_tpu.parallel import scene_mesh
+
+    n_avail = len(jax.devices())
+    n_max = min(args.devices or n_avail, n_avail)
+    counts = []
+    n = 1
+    while n <= n_max:
+        counts.append(n)
+        n *= 2
+    if counts[-1] != n_max:
+        counts.append(n_max)
+
+    log(f"platform={jax.default_backend()} devices={n_avail} "
+        f"weak-scaling: {args.scenes_per_device} scenes/device x "
+        f"{args.objects} objects")
+
+    rows = {}
+    trackers = (["sort", "visual"] if args.tracker == "both"
+                else [args.tracker])
+    for tracker in trackers:
+        base = None
+        for n_dev in counts:
+            mesh = scene_mesh(n_dev)
+            scenes = args.scenes_per_device * n_dev
+            if tracker == "sort":
+                fps = measure_sort(mesh, n_dev, scenes, args.objects,
+                                   *args.steps)
+            else:
+                fps = measure_visual(mesh, n_dev, scenes, args.objects,
+                                     args.feat_dim, *args.steps)
+            per_dev = fps / n_dev
+            if base is None:
+                base = per_dev
+            eff = per_dev / base
+            rows[f"{tracker}_n{n_dev}_scene_fps"] = round(fps, 2)
+            rows[f"{tracker}_n{n_dev}_efficiency"] = round(eff, 4)
+            log(f"{tracker:7s} n={n_dev:<3d} {fps:12.1f} scene-frames/s  "
+                f"{per_dev:12.1f} /device  efficiency {eff:6.1%}")
+
+    print(json.dumps({
+        "metric": "pod_weak_scaling",
+        "platform": jax.default_backend(),
+        "max_devices": n_max,
+        "scenes_per_device": args.scenes_per_device,
+        "objects": args.objects,
+        "rows": rows,
+    }))
+
+
+if __name__ == "__main__":
+    main()

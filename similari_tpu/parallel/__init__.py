@@ -15,6 +15,7 @@ from .mesh import (  # noqa: F401
     shard_batched_state,
     sharded_sort_scan,
     sharded_sort_step,
+    sharded_visual_scan,
     sharded_visual_step,
 )
 from .gallery import global_gallery_query  # noqa: F401

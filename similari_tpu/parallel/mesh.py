@@ -244,6 +244,40 @@ def sharded_sort_scan(cfg: SortConfig, mesh: Mesh):
     return jax.jit(mapped, donate_argnums=(0,))
 
 
+def sharded_visual_scan(cfg: VisualConfig, mesh: Mesh):
+    """Pod-scale VisualSORT pipeline: scan(vmap(step)) inside shard_map.
+
+    Same communication profile as `sharded_sort_scan`: scenes sharded over
+    the mesh axis, zero cross-device traffic in the frame loop, one psum for
+    the global new-track counter.  Stream shapes as `batched_visual_scan`
+    with the scene axis sharded.
+    """
+    vstep = batched_visual_step(cfg)
+
+    def local(states, box, conf, valid, feat, fvalid, qual, oa, epochs0):
+        def body(st, inp):
+            b, c, v, fe, fv, q, o, i = inp
+            st, out = vstep(st, b, c, v, fe, fv, q, o, epochs0 + i)
+            return st, (out.track_id, out.is_new)
+
+        steps = box.shape[0]
+        idx = jnp.arange(steps, dtype=jnp.int32)
+        states, (ids, is_new) = jax.lax.scan(
+            body, states, (box, conf, valid, feat, fvalid, qual, oa, idx)
+        )
+        total_new = jax.lax.psum(jnp.sum(is_new.astype(jnp.int32)), SCENE_AXIS)
+        return states, ids, total_new
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(SCENE_AXIS),) + (P(None, SCENE_AXIS),) * 7 + (P(SCENE_AXIS),),
+        out_specs=(P(SCENE_AXIS), P(None, SCENE_AXIS), P()),
+        check_vma=False,
+    )
+    return jax.jit(mapped, donate_argnums=(0,))
+
+
 def sharded_visual_step(cfg: VisualConfig, mesh: Mesh):
     """shard_map'd VisualSORT batch step over the scene mesh (+psum stats)."""
     vstep = batched_visual_step(cfg)

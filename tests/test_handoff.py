@@ -251,3 +251,30 @@ def test_migration_on_2d_pod_mesh():
     sl = int(np.flatnonzero(active[15])[0])
     assert np.asarray(state2.track_id)[15, sl] == 1
     assert np.asarray(state2.last_epoch)[15, sl] == 4
+
+
+def test_merge_on_2d_pod_mesh():
+    """ReID merge across the (hosts, devices) pod mesh — psum over both axes."""
+    from jax.sharding import NamedSharding
+    from similari_tpu.parallel import pod_mesh, pod_scene_spec
+
+    mesh = pod_mesh(n_hosts=4, devices_per_host=2)
+    s, t, k, f = 16, 4, 3, 8
+    rng = np.random.default_rng(9)
+    state = new_batched_visual_state(s, t, 2, k, f)
+    state = _populate_visual(state, 0, 0, 11, [0.9, 0.2], rng, 100.0)
+    state = _populate_visual(state, 15, 2, 22, [0.5, 0.4, 0.3], rng, 200.0)
+    sharding = NamedSharding(mesh, pod_scene_spec())
+    state = jax.tree.map(lambda a: jax.device_put(a, sharding), state)
+
+    merge = track_merge(mesh)
+    m = lambda v: jnp.asarray(v, jnp.int32)
+    state2, success = merge(state, m([0]), m([11]), m([15]), m([22]))
+    assert np.asarray(success).tolist() == [True]
+    active = np.asarray(state2.active)
+    assert not active[0, 0] and active[15, 2]
+    qual = np.asarray(state2.feat_quality)[15, 2]
+    np.testing.assert_allclose(
+        sorted(qual.tolist(), reverse=True), [0.9, 0.5, 0.4], rtol=1e-6
+    )
+    assert np.asarray(state2.track_id)[15, 2] == 22
