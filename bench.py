@@ -432,6 +432,16 @@ def main():
             return True
         return False
 
+    def guarded(name, fn, *args, **kwargs):
+        """Run one bench config; a failure (incl. a crashed TPU worker on a
+        later config) must never lose the results already collected."""
+        try:
+            return fn(*args, **kwargs)
+        except Exception as e:
+            log(f"{name} FAILED: {e!r}")
+            results[name + "_error"] = str(e)[:200]
+            return None
+
     # ---- headline first: batch VisualSORT saturation sweep ---------------
     visual_sweep = [(64, 32), (256, 16), (1024, 8)]
     if fast:
@@ -442,7 +452,10 @@ def main():
         name = f"batch_visual_{scenes}x100x512"
         if over_budget(name):
             continue
-        fps, flops = bench_batch_visual_scan(scenes, 100, 512, base_len)
+        r = guarded(name, bench_batch_visual_scan, scenes, 100, 512, base_len)
+        if r is None:
+            continue
+        fps, flops = r
         record(name, fps, flops, unit="scene-frames/s")
         log(f"  -> x{fps / vbase:.1f} vs reference single-stream")
         if fps > best_visual[0]:
@@ -456,7 +469,10 @@ def main():
         name = f"batch_sort_{scenes}x100"
         if over_budget(name):
             continue
-        fps, flops = bench_batch_sort_scan(scenes, 100, base_len)
+        r = guarded(name, bench_batch_sort_scan, scenes, 100, base_len)
+        if r is None:
+            continue
+        fps, flops = r
         record(name, fps, flops, unit="scene-frames/s")
         log(f"  -> x{fps / BASELINES['batch_sort_iou_100']:.1f} vs reference"
             " single-stream")
@@ -476,7 +492,10 @@ def main():
     for name, method, n, oriented, base_len in sort_configs:
         if over_budget(name):
             continue
-        fps, flops = bench_sort_scan(method, n, oriented, base_len)
+        r = guarded(name, bench_sort_scan, method, n, oriented, base_len)
+        if r is None:
+            continue
+        fps, flops = r
         record(name, fps, flops)
 
     # ---- Pallas fused-kernel config ----------------------------------------
@@ -498,7 +517,10 @@ def main():
         name = f"visual_sort_100x{dim}"
         if over_budget(name):
             continue
-        fps, flops = bench_visual_scan(100, dim, base_len)
+        r = guarded(name, bench_visual_scan, 100, dim, base_len)
+        if r is None:
+            continue
+        fps, flops = r
         record(name, fps, flops)
 
     # ---- NMS ----------------------------------------------------------------
@@ -514,12 +536,18 @@ def main():
     for name, n, oriented, base_len in nms_configs:
         if over_budget(name):
             continue
-        fps, flops = bench_nms(n, oriented, base_len)
+        r = guarded(name, bench_nms, n, oriented, base_len)
+        if r is None:
+            continue
+        fps, flops = r
         record(name, fps, flops, unit="frames/s")
 
     log(f"total bench time: {time.time() - t_start:.1f}s")
 
     headline, knee_scenes = best_visual
+    if headline == 0.0:  # whole sweep failed: fall back to any visual number
+        headline = results.get("visual_sort_100x512_fps", 0.0)
+        knee_scenes = 1
     print(
         json.dumps(
             {

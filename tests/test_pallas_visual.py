@@ -1,0 +1,121 @@
+"""Pallas fused VisualSORT kernel: parity with the XLA visual_scan."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from similari_tpu.ops.pallas_visual import compiled_pallas_visual_scan
+from similari_tpu.trackers.visual_state import new_visual_state
+from similari_tpu.trackers.visual_step import VisualConfig, visual_scan
+
+
+def make_visual_stream(seed, steps, d, f, density=300.0):
+    rng = np.random.default_rng(seed)
+    xy = rng.uniform(0, density, size=(d, 2)).astype(np.float32)
+    ident = rng.normal(size=(d, f)).astype(np.float32)  # per-object identity
+    box = np.zeros((steps, d, 5), np.float32)
+    feat = np.zeros((steps, d, f), np.float32)
+    valid = np.ones((steps, d), bool)
+    fvalid = np.ones((steps, d), bool)
+    qual = rng.uniform(0.3, 1.0, size=(steps, d)).astype(np.float32)
+    for s in range(steps):
+        xy += rng.uniform(-2, 2, size=xy.shape).astype(np.float32)
+        box[s, :, 0] = xy[:, 0]
+        box[s, :, 1] = xy[:, 1]
+        box[s, :, 3] = 0.5
+        box[s, :, 4] = 25.0
+        feat[s] = ident + 0.05 * rng.normal(size=(d, f)).astype(np.float32)
+    # exercise padding rows and missing features
+    valid[steps // 2, d // 2:] = False
+    fvalid[1, : d // 4] = False
+    fvalid[steps - 2, d // 2:] = False
+    return box, valid, feat, fvalid, qual
+
+
+CONFIGS = [
+    VisualConfig(
+        positional_kind="iou", oriented=False, assignment="auction",
+        visual_kind="euclidean", visual_threshold=5.0,
+        visual_minimal_track_length=2, max_idle_epochs=5,
+    ),
+    VisualConfig(
+        positional_kind="iou", oriented=False, assignment="auction",
+        visual_kind="cosine", visual_threshold=0.7,
+        visual_minimal_track_length=1, visual_min_votes=2,
+        visual_minimal_quality_use=0.5, visual_minimal_quality_collect=0.4,
+        max_idle_epochs=5,
+    ),
+]
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("cfg_ix", [0, 1])
+def test_pallas_visual_scan_matches_xla(seed, cfg_ix):
+    cfg = CONFIGS[cfg_ix]
+    steps, d, t, k, f = 8, 8, 32, 3, 16
+    box, valid, feat, fvalid, qual = make_visual_stream(seed, steps, d, f)
+    conf = jnp.ones((steps, d), jnp.float32)
+    oa = jnp.ones((steps, d), jnp.float32)
+    bj, vj = jnp.asarray(box), jnp.asarray(valid)
+    fj, flj, qj = jnp.asarray(feat), jnp.asarray(fvalid), jnp.asarray(qual)
+
+    state_a = new_visual_state(t, 1, k, f)
+    state_a, outs_a = visual_scan(
+        cfg, state_a, bj, conf, vj, fj, flj, qj, oa, jnp.int32(1)
+    )
+
+    run = compiled_pallas_visual_scan(cfg, chunk=4, interpret=True)
+    state_b = new_visual_state(t, 1, k, f)
+    state_b, (ids, slots, pred, vt, newf, length) = run(
+        state_b, bj, conf, vj, fj, flj, qj, oa, jnp.int32(1)
+    )
+
+    mask = np.asarray(valid)
+    np.testing.assert_array_equal(
+        np.where(mask, np.asarray(ids), 0),
+        np.where(mask, np.asarray(outs_a.track_id), 0),
+    )
+    np.testing.assert_array_equal(
+        np.where(mask, np.asarray(vt), -1),
+        np.where(mask, np.asarray(outs_a.voting_type), -1),
+    )
+    np.testing.assert_array_equal(
+        np.where(mask, np.asarray(newf) > 0, False),
+        np.where(mask, np.asarray(outs_a.is_new), False),
+    )
+    np.testing.assert_allclose(
+        np.where(mask[..., None], np.asarray(pred), 0),
+        np.where(mask[..., None], np.asarray(outs_a.pred_box), 0),
+        rtol=2e-4, atol=1e-4,
+    )
+    # final state parity
+    np.testing.assert_array_equal(
+        np.asarray(state_b.active), np.asarray(state_a.active)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state_b.track_id), np.asarray(state_a.track_id)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state_b.collected), np.asarray(state_a.collected)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state_b.feat_valid), np.asarray(state_a.feat_valid)
+    )
+    np.testing.assert_allclose(
+        np.asarray(state_b.pred_box), np.asarray(state_a.pred_box),
+        rtol=2e-4, atol=1e-4,
+    )
+    # gallery contents: compare only live lanes (dead lanes keep stale data)
+    live = np.asarray(state_a.feat_valid)
+    np.testing.assert_allclose(
+        np.where(live[..., None], np.asarray(state_b.feats), 0),
+        np.where(live[..., None], np.asarray(state_a.feats), 0),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.where(live, np.asarray(state_b.feat_quality), 0),
+        np.where(live, np.asarray(state_a.feat_quality), 0),
+        rtol=1e-6, atol=1e-6,
+    )
+    assert int(state_b.next_id) >= int(jnp.max(state_b.track_id))
