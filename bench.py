@@ -296,6 +296,47 @@ def bench_visual_scan(n_objects, feat_dim, base_len, gallery=3):
     return fps, flops
 
 
+def bench_visual_pallas(n_objects, feat_dim, base_len, gallery=3, chunk=32):
+    """The fused VisualSORT-on-chip kernel (ops/pallas_visual.py), same
+    workload as bench_visual_scan for a direct XLA-vs-Pallas comparison."""
+    import jax
+    import jax.numpy as jnp
+
+    from similari_tpu.ops.pallas_visual import compiled_pallas_visual_scan
+    from similari_tpu.trackers.visual_state import new_visual_state
+    from similari_tpu.trackers.visual_step import VisualConfig
+
+    cfg = VisualConfig(
+        positional_kind="iou", visual_kind="euclidean",
+        visual_threshold=100.0, visual_minimal_track_length=3,
+        max_idle_epochs=5, assignment="auction", oriented=False,
+        feature_precision="bf16",
+    )
+    rng = np.random.default_rng(0)
+    stream = jnp.asarray(box_stream(base_len, n_objects))
+    featsrc = rng.normal(size=(n_objects, feat_dim)).astype(np.float32)
+    feats = jnp.asarray(
+        np.broadcast_to(featsrc, (base_len, n_objects, feat_dim)).copy())
+    onesv = jnp.ones((base_len, n_objects), jnp.float32)
+    truv = jnp.ones((base_len, n_objects), bool)
+    scan = compiled_pallas_visual_scan(cfg, chunk)
+
+    def run(k):
+        state = new_visual_state(4 * n_objects, 1, gallery, feat_dim)
+        ids = None
+        t0 = time.perf_counter()
+        for i in range(k):
+            state, (ids, *_rest) = scan(
+                state, stream, onesv, truv, feats, truv, onesv, onesv,
+                jnp.int32(1 + i * base_len))
+        np.asarray(ids[-1][0])  # true sync
+        return time.perf_counter() - t0
+
+    fps = 1.0 / per_step_time(run, base_len)
+    flops = visual_step_flops(n_objects, 4 * n_objects, gallery, feat_dim)
+    return fps, flops
+
+
 def bench_batch_visual_scan(n_scenes, n_objects, feat_dim, base_len,
                             gallery=3):
     """North-star config: batch VisualSORT, scene-frames/sec/chip.
@@ -508,6 +549,14 @@ def main():
                 log(f"  -> pallas vs XLA scan: x{fps / xla:.2f}")
         except Exception as e:  # pallas path must never sink the bench
             log(f"sort_iou_100_pallas FAILED: {e!r}")
+
+    # ---- Pallas fused visual kernel ----------------------------------------
+    if not fast and not over_budget("visual_sort_100x512_pallas"):
+        r = guarded("visual_sort_100x512_pallas", bench_visual_pallas,
+                    100, 512, 256)
+        if r is not None:
+            fps, flops = r
+            record("visual_sort_100x512_pallas", fps, flops)
 
     # ---- single-scene VisualSORT dims --------------------------------------
     visual_dims = [(128, 1024), (512, 1024), (2048, 512)]

@@ -19,15 +19,16 @@ step.
 Numerical parity with `sort_step` is property-tested (same ids, same state)
 in interpret mode on CPU and compiled on TPU.
 
-Measured outcome (v5e, honest fetch-synced timing, ARCHITECTURE.md §6): at
-the reference's headline scale (100 objects, aligned IoU) the fused kernel
-beats the XLA scan by ~15% (50.6k vs 43.6k FPS) — the VMEM residency saves
-the per-step HBM round-trips that remain after the XLA path's own
-optimizations.  It stays opt-in (`bench.py sort_iou_100_pallas` captures it)
-because it supports only the aligned-IoU/history-1 config; the XLA step is
-the general default.  Engineering notes (incl. the Mosaic
-bool-lane-broadcast pitfall and the VMEM-limit compiler abort) are in
-ARCHITECTURE.md §5.
+Measured outcome (v5e, honest fetch-synced timing, 3 reps, 100 objects,
+aligned IoU): 27.1-27.4k FPS vs 29.1-29.3k for the XLA scan — the kernel
+runs at ×0.93 of XLA.  The XLA SORT step is already thin (its scatters,
+vmapped while_loops and gathers were engineered out, ARCHITECTURE.md
+§2/§2b), so VMEM residency has nothing left to save here; the kernel is
+kept as a tested alternative, a base for future in-kernel RDMA variants,
+and the template for `ops/pallas_visual.py`, where the same fusion DOES win
+(×1.55 — the VisualSORT step still had gallery HBM round-trips).
+Engineering notes (incl. the Mosaic bool-lane-broadcast pitfall and the
+VMEM-limit compiler abort) are in ARCHITECTURE.md §5.
 """
 
 from __future__ import annotations

@@ -41,6 +41,14 @@ Design notes:
 
 Numerical parity with `visual_step` is property-tested (same ids, voting
 types and state) in interpret mode on CPU and compiled on TPU.
+
+Measured outcome (v5e, honest fetch-synced timing, 100 obj x 512-d,
+gallery 3): 24.0-26.6k FPS vs 15.9k for the XLA scan — **x1.55**.  The
+VisualSORT step is where per-frame HBM round-trips still lived (gallery
+reads for distances, feature intermediates, gallery writes for
+insert/evict); keeping them in VMEM is the win the SORT kernel couldn't
+get (see ops/pallas_sort.py header and ARCHITECTURE.md §5).  Captured by
+`bench.py visual_sort_100x512_pallas`.
 """
 
 from __future__ import annotations
@@ -326,7 +334,9 @@ def _kernel(cfg: VisualConfig, c_frames: int, k: int, *refs):
         for i in range(k):
             gal_v[i] = gal_v[i] & ~(evict_needed & (evict_k == i))
         # the first feature of a brand-new track bypasses the collect gate
-        keep_new = featok & jnp.where(is_new, True, collect_gate)
+        # (pure bool algebra: a where(bool, True, x) select lowers to an
+        # i8->i1 truncation Mosaic rejects)
+        keep_new = featok & (is_new | collect_gate)
         free_k = jnp.zeros((d,), jnp.int32)
         for i in reversed(range(k)):  # first free lane (argmax of ~valid)
             free_k = jnp.where(~gal_v[i], i, free_k)
