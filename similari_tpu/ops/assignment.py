@@ -213,17 +213,16 @@ def _fixup_unassigned(row_to_col, col_to_row):
 
     Only reachable if the iteration cap was hit; keeps the result a matching.
     """
-    d = row_to_col.shape[0]
     n = col_to_row.shape[0]
     col_free = col_to_row < 0
-    # k-th free column index for each k
+    # rank-matching one-hot instead of scatter+gather (vmapped dynamic
+    # scatters serialize on TPU; this runs on every solve)
     order = jnp.cumsum(col_free.astype(jnp.int32)) - 1  # rank of each free col
-    free_cols = jnp.full((n,), n - 1, jnp.int32).at[
-        jnp.where(col_free, order, n)
-    ].set(jnp.arange(n), mode="drop")
     row_un = row_to_col < 0
-    rank = jnp.cumsum(row_un.astype(jnp.int32)) - 1
-    fill = free_cols[jnp.clip(rank, 0, n - 1)]
+    rank = jnp.cumsum(row_un.astype(jnp.int32)) - 1  # [D]
+    hot = col_free[None, :] & (order[None, :] == rank[:, None])  # [D, N]
+    cols = jnp.arange(n, dtype=jnp.int32)
+    fill = jnp.min(jnp.where(hot, cols[None, :], n - 1), axis=1)
     return jnp.where(row_un, fill, row_to_col)
 
 
@@ -337,7 +336,6 @@ def augment_with_threshold(
     # Padding rows keep the same positive diagonal: their row is all-zero
     # elsewhere and the diagonal column is private, so the optimum parks them
     # there without distorting the epsilon scale of the auction solver.
-    diag = jnp.zeros((d, d), metric.dtype).at[
-        jnp.arange(d), jnp.arange(d)
-    ].set(jnp.full((d,), threshold, metric.dtype))
+    eye = jnp.arange(d)[:, None] == jnp.arange(d)[None, :]
+    diag = jnp.where(eye, jnp.asarray(threshold, metric.dtype), 0)
     return jnp.concatenate([diag, body], axis=1)

@@ -94,3 +94,68 @@ def merge_ring(
 
 # gallery-lane writes are the same computation with a lane index per detection
 merge_lane = merge_ring
+
+
+def reader_hit(slot: jax.Array, capacity: int) -> jax.Array:
+    """hot[D, T] one-hot: which slot each detection reads.
+
+    The inverse of ``writer_hit``: measured on v5e, a vmapped dynamic gather
+    ``table[slot]`` serializes (~20x slower than this contraction at
+    S=256, D=100, T=200 — see ARCHITECTURE.md §4c), so every by-slot read
+    in the steps goes through these helpers instead.
+    """
+    return slot[:, None] == jnp.arange(capacity, dtype=slot.dtype)[None, :]
+
+
+def take_rows(table: jax.Array, slot: jax.Array) -> jax.Array:
+    """g[D, ...] = table[slot[d]] as a one-hot contraction (no gather).
+
+    Floats ride the MXU; ints/bools use a masked reduce.  Exactness relies
+    on the table being globally finite (0 * inf would poison the matmul) —
+    which the merge invariants guarantee: every state write zeroes NaN/inf
+    source rows (see ``_place``), and empty state is zero-initialized.
+    """
+    d = slot.shape[0]
+    t = table.shape[0]
+    hot = reader_hit(slot, t)
+    if jnp.issubdtype(table.dtype, jnp.floating):
+        g = jnp.einsum(
+            "dt,tc->dc",
+            hot.astype(table.dtype),
+            table.reshape(t, -1),
+            preferred_element_type=table.dtype,
+        )
+        return g.reshape((d,) + table.shape[1:])
+    mask = hot.reshape((d, t) + (1,) * (table.ndim - 1))
+    if table.dtype == jnp.bool_:
+        return jnp.any(mask & table[None], axis=1)
+    return jnp.sum(jnp.where(mask, table[None], 0), axis=1, dtype=table.dtype)
+
+
+def take_tree(table_tree, slot: jax.Array):
+    """Pytree version of take_rows (e.g. KalmanState leaves)."""
+    return jax.tree.map(lambda tbl: take_rows(tbl, slot), table_tree)
+
+
+def take_at(matrix: jax.Array, cols: jax.Array) -> jax.Array:
+    """g[D] = matrix[d, cols[d]] without the 2-D gather."""
+    t = matrix.shape[1]
+    hot = cols[:, None] == jnp.arange(t, dtype=cols.dtype)[None, :]
+    if matrix.dtype == jnp.bool_:
+        return jnp.any(hot & matrix, axis=1)
+    return jnp.sum(jnp.where(hot, matrix, 0), axis=1, dtype=matrix.dtype)
+
+
+def nth_free_slot(active: jax.Array, want_rank: jax.Array) -> jax.Array:
+    """slot[d] = index of the want_rank[d]-th (0-based) free slot.
+
+    capacity-1 where no such slot exists (callers gate on overflow).
+    Scatter/gather-free replacement for building a free-slot table with
+    ``.at[].set`` and indexing it.
+    """
+    t = active.shape[0]
+    free = ~active
+    frank = jnp.cumsum(free.astype(jnp.int32)) - 1  # [T] rank among free
+    hot = free[None, :] & (frank[None, :] == want_rank[:, None])
+    cols = jnp.arange(t, dtype=jnp.int32)
+    return jnp.min(jnp.where(hot, cols[None, :], t - 1), axis=1)

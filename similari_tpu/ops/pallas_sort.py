@@ -20,13 +20,14 @@ Numerical parity with `sort_step` is property-tested (same ids, same state)
 in interpret mode on CPU and compiled on TPU.
 
 Measured outcome (v5e, honest fetch-synced timing, 3 reps, 100 objects,
-aligned IoU): 27.1-27.4k FPS vs 29.1-29.3k for the XLA scan — the kernel
-runs at ×0.93 of XLA.  The XLA SORT step is already thin (its scatters,
-vmapped while_loops and gathers were engineered out, ARCHITECTURE.md
-§2/§2b), so VMEM residency has nothing left to save here; the kernel is
-kept as a tested alternative, a base for future in-kernel RDMA variants,
-and the template for `ops/pallas_visual.py`, where the same fusion DOES win
-(×1.55 — the VisualSORT step still had gallery HBM round-trips).
+aligned IoU): 27.1-27.4k FPS vs 35.3k for the gather-free XLA scan
+(×0.77).  The XLA SORT step is thin — its scatters, vmapped while_loops
+and gathers were engineered out (ARCHITECTURE.md §2/§2b/§4c, the last
+by porting this kernel's one-hot-everything design back into XLA) — so
+VMEM residency has nothing left to save here.  The kernel is kept as a
+tested alternative, a base for future in-kernel RDMA variants, and the
+template for `ops/pallas_visual.py`, where the same fusion DOES win
+(×1.3 — the VisualSORT step still pays gallery HBM round-trips).
 Engineering notes (incl. the Mosaic bool-lane-broadcast pitfall and the
 VMEM-limit compiler abort) are in ARCHITECTURE.md §5.
 """

@@ -125,16 +125,6 @@ def distance_weights(
     return jnp.where(compat & ~tf, m, 0.0)
 
 
-def _nth_free_slot(active: jax.Array) -> jax.Array:
-    """free_slots[r] = index of the r-th inactive slot (capacity where none)."""
-    t = active.shape[0]
-    free = ~active
-    rank = jnp.cumsum(free.astype(jnp.int32)) - 1
-    return jnp.full((t,), t, jnp.int32).at[
-        jnp.where(free, rank, t)
-    ].set(jnp.arange(t, dtype=jnp.int32), mode="drop")
-
-
 def sort_step(
     cfg: SortConfig,
     state: SortState,
@@ -153,35 +143,35 @@ def sort_step(
         asg.resolve_backend(cfg.assignment),
     )  # [D]
     tgt = jnp.clip(col - d, 0, t - 1)
-    pair_w = W[jnp.arange(d), tgt]
+    # NOTE: every by-slot read below is a one-hot contraction (mrg.take_*) —
+    # vmapped dynamic gathers serialize on TPU (ARCHITECTURE.md §4c)
+    pair_w = mrg.take_at(W, tgt)
     matched = det_valid & (col >= d) & (pair_w >= cfg.new_track_threshold)
 
     # --- slot allocation for new tracks ---------------------------------
     is_new = det_valid & ~matched
-    free_slots = _nth_free_slot(state.active)
     new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     n_new = jnp.sum(is_new.astype(jnp.int32))
     n_free = jnp.sum((~state.active).astype(jnp.int32))
     overflow = n_new > n_free
-    new_slot = free_slots[jnp.clip(new_rank, 0, t - 1)]
-    slot = jnp.where(matched, tgt, jnp.clip(new_slot, 0, t - 1))
+    new_slot = mrg.nth_free_slot(state.active, new_rank)
+    slot = jnp.where(matched, tgt, new_slot)
     safe = det_valid & ~overflow
 
     # --- one masked batched Kalman step for matched + new ----------------
+    kf_at_slot = mrg.take_tree(state.kf, slot)
     prev = jax.tree.map(
-        lambda tr, init: jnp.where(
-            matched[:, None], tr[slot], init
-        ),
-        state.kf,
+        lambda tr, init: jnp.where(matched[:, None], tr, init),
+        kf_at_slot,
         spec.initiate(det_box),
     )
     st = spec.update(spec.predict(prev), det_box)
     pred_box = st.mean_pos  # [D, 5]
 
-    new_length = jnp.where(matched, state.length[slot] + 1, 1)
+    new_length = jnp.where(matched, mrg.take_rows(state.length, slot) + 1, 1)
     new_ids = jnp.where(
         matched,
-        state.track_id[slot],
+        mrg.take_rows(state.track_id, slot),
         state.next_id + new_rank + 1,
     ).astype(jnp.int32)
 

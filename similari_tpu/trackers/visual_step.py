@@ -224,14 +224,16 @@ def visual_step(
     w = jnp.where(eligible, vweight, _NEG)
 
     # --- greedy best-fit in closed form ----------------------------------
+    # (by-slot reads/writes as one-hot contractions throughout — vmapped
+    # dynamic gathers/scatters serialize on TPU, ARCHITECTURE.md §4c)
     t1 = jnp.argmax(w, axis=1)  # [D] best track per candidate
+    t1_hot = mrg.reader_hit(t1, t)  # [D, T]
     has_any = jnp.any(eligible, axis=1)  # candidate participates in visual
     best_query = jnp.argmax(w, axis=0)  # [T] heaviest candidate per track
-    wins_visual = has_any & (best_query[t1] == jnp.arange(d))
+    bq_at_t1 = jnp.sum(jnp.where(t1_hot, best_query[None, :], 0), axis=1)
+    wins_visual = has_any & (bq_at_t1 == jnp.arange(d))
     visual_decided = has_any  # winner==self still excludes from positional
-    claimed = jnp.zeros((t,), bool).at[
-        jnp.where(wins_visual, t1, t)
-    ].set(True, mode="drop")
+    claimed = jnp.any(t1_hot & wins_visual[:, None], axis=0)  # [T]
 
     # --- positional Hungarian on the remainder ---------------------------
     row_open = det_valid & ~visual_decided
@@ -245,7 +247,7 @@ def visual_step(
     pos_matched = (
         row_open
         & (col >= d)
-        & (P_masked[jnp.arange(d), ptgt] >= cfg.new_track_threshold)
+        & (mrg.take_at(P_masked, ptgt) >= cfg.new_track_threshold)
     )
 
     matched = wins_visual | pos_matched
@@ -254,35 +256,33 @@ def visual_step(
 
     # --- slot allocation --------------------------------------------------
     is_new = det_valid & ~matched
-    free = ~state.active
-    rank = jnp.cumsum(free.astype(jnp.int32)) - 1
-    free_slots = jnp.full((t,), t, jnp.int32).at[
-        jnp.where(free, rank, t)
-    ].set(jnp.arange(t, dtype=jnp.int32), mode="drop")
     new_rank = jnp.cumsum(is_new.astype(jnp.int32)) - 1
     n_new = jnp.sum(is_new.astype(jnp.int32))
-    overflow = n_new > jnp.sum(free.astype(jnp.int32))
-    slot = jnp.where(matched, tgt, free_slots[jnp.clip(new_rank, 0, t - 1)])
-    slot = jnp.clip(slot, 0, t - 1)
+    overflow = n_new > jnp.sum((~state.active).astype(jnp.int32))
+    slot = jnp.where(matched, tgt, mrg.nth_free_slot(state.active, new_rank))
     safe = det_valid & ~overflow
 
     # --- Kalman update ----------------------------------------------------
+    kf_at_slot = mrg.take_tree(state.kf, slot)
     prev = jax.tree.map(
-        lambda tr, init: jnp.where(matched[:, None], tr[slot], init),
-        state.kf,
+        lambda tr, init: jnp.where(matched[:, None], tr, init),
+        kf_at_slot,
         spec.initiate(det_box),
     )
     st = spec.update(spec.predict(prev), det_box)
     pred_box = st.mean_pos
 
-    new_length = jnp.where(matched, state.length[slot] + 1, 1)
+    new_length = jnp.where(matched, mrg.take_rows(state.length, slot) + 1, 1)
     new_ids = jnp.where(
-        matched, state.track_id[slot], state.next_id + new_rank + 1
+        matched, mrg.take_rows(state.track_id, slot),
+        state.next_id + new_rank + 1
     ).astype(jnp.int32)
 
     # --- gallery update (`visual_sort/metric.rs:297-374`) -----------------
-    gal_valid = jnp.where(matched[:, None], state.feat_valid[slot], False)  # [D,K]
-    gal_q = state.feat_quality[slot]
+    gal_valid = jnp.where(
+        matched[:, None], mrg.take_rows(state.feat_valid, slot), False
+    )  # [D,K]
+    gal_q = mrg.take_rows(state.feat_quality, slot)
     n_f = jnp.sum(gal_valid, axis=1)
     evict_needed = n_f >= k
     evict_k = jnp.argmin(jnp.where(gal_valid, gal_q, jnp.inf), axis=1)

@@ -1,19 +1,23 @@
 """Stage ablation for the batched VisualSORT step (roofline evidence).
 
-Times DCE-ablated variants of the real batched step with the honest
-scan-length-differencing estimator (see bench.py `per_step_time`,
-ARCHITECTURE.md §6) and prints a per-stage cost breakdown:
+Times compiled stage programs that mirror the production step's structure
+with the honest scan-length-differencing estimator (see bench.py
+`per_step_time`, ARCHITECTURE.md §6):
 
-  full      — the production step (distance + cascade + KF + merge)
-  nomerge   — returns the old state: XLA dead-code-eliminates the state
-              merge; full - nomerge = merge cost
-  votesonly — returns only the visual vote counts: auction, best-fit, KF
-              and merge all DCE'd; measures gallery distances + gates
-  posonly   — returns only the positional weight matrix: measures the
-              IoU + compatibility stage
+  full        — the production step (distance + cascade + KF + merge)
+  posonly     — IoU + compatibility weights only (tiny scan carry)
+  votesonly   — gallery distances + gates + votes only (per-step feature
+                perturbation defeats loop-invariant hoisting)
+  auctiononly — the positional auction (solve_voting) on per-step
+                perturbed tracking-shaped weights
+  mergeonly   — the one-hot state merge with synthetic per-step writers
+                (state carried and donated, like production)
 
-Ablated variants do NOT donate state (returning the input state aliased
-with donation is invalid).  Usage: `python tools/ablate_visual.py [scenes]`.
+Stage variants keep the big state OUT of the scan carry (an unchanged
+pass-through carry makes XLA copy the whole state every iteration — the
+first version of this tool measured exactly that artifact).
+
+Usage: `python tools/ablate_visual.py [scenes]`.
 """
 
 import sys
@@ -30,6 +34,8 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from similari_tpu.ops import assignment as asg
+    from similari_tpu.ops import merge as mrg
     from similari_tpu.parallel import (
         batched_visual_step,
         new_batched_visual_state,
@@ -39,6 +45,7 @@ def main():
 
     scenes = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     n_objects, feat_dim, gallery, base_len = 100, 512, 3, 8
+    t_cap = 2 * n_objects
 
     cfg = VisualConfig(
         positional_kind="iou", visual_kind="euclidean",
@@ -56,82 +63,188 @@ def main():
 
     def fresh():
         return new_batched_visual_state(
-            scenes, 2 * n_objects, 1, gallery, feat_dim,
-            feature_dtype=jnp.bfloat16)
+            scenes, t_cap, 1, gallery, feat_dim, feature_dtype=jnp.bfloat16)
 
+    # a fixed state snapshot used as a closure constant by stage variants
+    # (warmed so galleries are populated and tracks active)
     vstep = batched_visual_step(cfg)
+    warm = fresh()
+    for i in range(4):
+        warm, _ = vstep(warm, boxes[i % base_len], ones, tru, feat, tru,
+                        ones, ones, jnp.full((scenes,), 1 + i, jnp.int32))
+    warm = jax.tree.map(lambda a: a.copy(), warm)
 
-    def scan_of(body):
-        @jax.jit
-        def scan_fn(states, bstream, epochs0):
-            def wrap(st, inp):
-                b, i = inp
-                return body(st, b, epochs0 + i)
-            idx = jnp.arange(bstream.shape[0], dtype=jnp.int32)
-            return jax.lax.scan(wrap, states, (bstream, idx))
-        return scan_fn
+    times = {}
 
-    # --- variants ---------------------------------------------------------
-    def body_full(st, b, ep):
-        st, out = vstep(st, b, ones, tru, feat, tru, ones, ones, ep)
-        return st, out.track_id
+    def measure(name, run):
+        dt = B.per_step_time(run, base_len)
+        times[name] = dt
+        print(f"{name:12s}: {dt * 1e3:8.3f} ms/step "
+              f"({dt * 1e6 / scenes:7.2f} us/scene-frame)", flush=True)
 
-    def body_nomerge(st, b, ep):
-        _, out = vstep(st, b, ones, tru, feat, tru, ones, ones, ep)
-        return st, out.track_id
+    # ---- full producticon step -------------------------------------------
+    @jax.jit
+    def scan_full(states, bstream, epochs0):
+        def body(st, inp):
+            b, i = inp
+            st, out = vstep(st, b, ones, tru, feat, tru, ones, ones,
+                            epochs0 + i)
+            return st, out.track_id
+        idx = jnp.arange(bstream.shape[0], dtype=jnp.int32)
+        return jax.lax.scan(body, states, (bstream, idx))
 
-    def body_votesonly(st, b, ep):
-        def per_scene(s_, b_, e_, f_):
-            compat = V._compat_matrix(cfg, s_, b_, e_)
-            area_ok = b_[:, 3] * b_[:, 4] * b_[:, 4] >= cfg.visual_minimal_area
-            use_gate = tru[0] & area_ok
-            votes, w = V.visual_votes(cfg, s_, f_, use_gate, compat)
-            return jnp.sum(votes) + jnp.sum(w)
-        tot = jax.vmap(per_scene)(st, b, ep, feat)
-        return st, tot
+    def run_full(k):
+        states = fresh()
+        out = None
+        t0 = time.perf_counter()
+        for i in range(k):
+            states, out = scan_full(
+                states, boxes, jnp.full((scenes,), 1 + i * base_len,
+                                        jnp.int32))
+        np.asarray(out)
+        return time.perf_counter() - t0
 
-    def body_posonly(st, b, ep):
+    measure("full", run_full)
+
+    # ---- positional stage -------------------------------------------------
+    @jax.jit
+    def scan_pos(tot0, bstream, epochs0):
         def per_scene(s_, b_, e_):
             compat = V._compat_matrix(cfg, s_, b_, e_)
             P, v = V.positional_weights(cfg, s_, b_, ones[0], compat)
             return jnp.sum(P) + jnp.sum(v)
-        tot = jax.vmap(per_scene)(st, b, ep)
-        return st, tot
+        def body(tot, inp):
+            b, i = inp
+            tot = tot + jnp.sum(jax.vmap(per_scene, in_axes=(0, 0, 0))(
+                warm, b, epochs0 + i))
+            return tot, ()
+        idx = jnp.arange(bstream.shape[0], dtype=jnp.int32)
+        return jax.lax.scan(body, tot0, (bstream, idx))[0]
 
-    variants = [
-        ("full", body_full),
-        ("nomerge", body_nomerge),
-        ("votesonly", body_votesonly),
-        ("posonly", body_posonly),
-    ]
-    times = {}
-    for name, body in variants:
-        scan_fn = scan_of(body)
+    def run_pos(k):
+        tot = jnp.float32(0)
+        t0 = time.perf_counter()
+        for i in range(k):
+            tot = scan_pos(tot, boxes,
+                           jnp.full((scenes,), 1 + i * base_len, jnp.int32))
+        np.asarray(tot)
+        return time.perf_counter() - t0
 
-        def run(k, scan_fn=scan_fn):
-            states = fresh()
-            t0 = time.perf_counter()
-            out = None
-            for i in range(k):
-                states, out = scan_fn(
-                    states, boxes,
-                    jnp.full((scenes,), 1 + i * base_len, jnp.int32))
-            arr = np.asarray(out)  # true sync
-            del arr
-            return time.perf_counter() - t0
+    measure("posonly", run_pos)
 
-        dt = B.per_step_time(run, base_len)
-        times[name] = dt
-        print(f"{name:10s}: {dt * 1e3:8.3f} ms/step "
-              f"({dt * 1e6 / scenes:7.2f} us/scene-frame)", flush=True)
+    # ---- gallery/votes stage ---------------------------------------------
+    @jax.jit
+    def scan_votes(tot0, bstream, epochs0):
+        def per_scene(s_, b_, e_, f_):
+            compat = V._compat_matrix(cfg, s_, b_, e_)
+            votes, w = V.visual_votes(cfg, s_, f_, tru[0], compat)
+            return jnp.sum(votes) + jnp.sum(w)
+        def body(tot, inp):
+            b, i = inp
+            f_i = feat * (1.0 + 1e-6 * i.astype(jnp.float32))
+            tot = tot + jnp.sum(jax.vmap(per_scene, in_axes=(0, 0, 0, 0))(
+                warm, b, epochs0 + i, f_i))
+            return tot, ()
+        idx = jnp.arange(bstream.shape[0], dtype=jnp.int32)
+        return jax.lax.scan(body, tot0, (bstream, idx))[0]
 
-    merge = times["full"] - times["nomerge"]
-    cascade = times["nomerge"] - times["votesonly"] - times["posonly"]
+    def run_votes(k):
+        tot = jnp.float32(0)
+        t0 = time.perf_counter()
+        for i in range(k):
+            tot = scan_votes(tot, boxes,
+                             jnp.full((scenes,), 1 + i * base_len, jnp.int32))
+        np.asarray(tot)
+        return time.perf_counter() - t0
+
+    measure("votesonly", run_votes)
+
+    # ---- auction stage ----------------------------------------------------
+    # tracking-shaped positional weights from the warm state, perturbed per
+    # step so nothing hoists; same solver call as the production step
+    @jax.jit
+    def base_weights(b0, e0):
+        def per_scene(s_, b_, e_):
+            compat = V._compat_matrix(cfg, s_, b_, e_)
+            P, v = V.positional_weights(cfg, s_, b_, ones[0], compat)
+            return jnp.where(v, P, 0.0)
+        return jax.vmap(per_scene, in_axes=(0, 0, 0))(warm, b0, e0)
+
+    W0 = base_weights(boxes[0], jnp.full((scenes,), 5, jnp.int32))
+    solve = jax.vmap(
+        lambda w: asg.solve_voting(
+            w, cfg.new_track_threshold, tru[0],
+            jnp.ones((t_cap,), bool), "auction"))
+
+    @jax.jit
+    def scan_auction(tot0, idxs):
+        def body(tot, i):
+            w = W0 * (1.0 + 1e-5 * i.astype(jnp.float32))
+            col = solve(w)
+            return tot + jnp.sum(col), ()
+        return jax.lax.scan(body, tot0, idxs)[0]
+
+    def run_auction(k):
+        tot = jnp.int32(0)
+        t0 = time.perf_counter()
+        for i in range(k):
+            tot = scan_auction(tot, jnp.arange(base_len, dtype=jnp.int32))
+        np.asarray(tot)
+        return time.perf_counter() - t0
+
+    measure("auctiononly", run_auction)
+
+    # ---- state-merge stage ------------------------------------------------
+    d = n_objects
+
+    @jax.jit
+    def scan_merge(states, bstream):
+        def body(st, inp):
+            b, i = inp
+            slot = jnp.broadcast_to(
+                (jnp.arange(d, dtype=jnp.int32) + i) % t_cap, (scenes, d))
+            def per_scene(s_, b_, sl_):
+                hit = mrg.writer_hit(sl_, tru[0], t_cap)
+                hix = jnp.zeros((d,), jnp.int32)
+                import dataclasses as dc
+                return dc.replace(
+                    s_,
+                    pred_box=mrg.merge_rows(s_.pred_box, b_, hit),
+                    obs_box=mrg.merge_rows(s_.obs_box, b_, hit),
+                    conf=mrg.merge_rows(s_.conf, ones[0], hit),
+                    length=mrg.merge_rows(s_.length, 1 + 0 * sl_, hit),
+                    track_id=mrg.merge_rows(s_.track_id, sl_, hit),
+                    feats=mrg.merge_lane(s_.feats, feat[0],
+                                         jnp.zeros((d,), jnp.int32), hit),
+                    feat_quality=mrg.merge_rows(
+                        s_.feat_quality,
+                        jnp.zeros((d, s_.gallery_size), jnp.float32), hit),
+                    hist_feat=mrg.merge_ring(s_.hist_feat, feat[0], hix, hit),
+                    collected=mrg.merge_rows(s_.collected, 1 + 0 * sl_, hit),
+                )
+            st = jax.vmap(per_scene, in_axes=(0, 0, 0))(st, b, slot)
+            return st, ()
+        idx = jnp.arange(bstream.shape[0], dtype=jnp.int32)
+        return jax.lax.scan(body, states, (bstream, idx))[0]
+
+    def run_merge(k):
+        states = fresh()
+        t0 = time.perf_counter()
+        for i in range(k):
+            states = scan_merge(states, boxes)
+        np.asarray(states.conf[0, 0])
+        return time.perf_counter() - t0
+
+    measure("mergeonly", run_merge)
+
+    rest = (times["full"] - times["posonly"] - times["votesonly"]
+            - times["auctiononly"] - times["mergeonly"])
     print("--- breakdown (per batch step) ---")
     print(f"positional stage : {times['posonly'] * 1e3:8.3f} ms")
     print(f"gallery stage    : {times['votesonly'] * 1e3:8.3f} ms")
-    print(f"cascade+KF (rest): {cascade * 1e3:8.3f} ms")
-    print(f"state merge      : {merge * 1e3:8.3f} ms")
+    print(f"auction          : {times['auctiononly'] * 1e3:8.3f} ms")
+    print(f"state merge      : {times['mergeonly'] * 1e3:8.3f} ms")
+    print(f"KF+bestfit+rest  : {rest * 1e3:8.3f} ms")
 
 
 if __name__ == "__main__":
