@@ -43,10 +43,13 @@ def nms(
         ranks[i] = rank
         valid[i] = True
 
+    # static per-call oriented flag (like the Sort API's auto-flip): the
+    # axis-aligned kernel is exact when no box carries an angle
+    oriented = bool(np.any(boxes[:, 2] != 0.0))
     keep = np.asarray(
         nms_kernel(
             jnp.asarray(boxes), jnp.asarray(ranks), jnp.asarray(valid),
-            jnp.float32(nms_threshold),
+            jnp.float32(nms_threshold), oriented,
         )
     )[:n]
     return [bb for (m, (_, bb)) in zip(keep, cands) if m]
