@@ -43,8 +43,8 @@ Numerical parity with `visual_step` is property-tested (same ids, voting
 types and state) in interpret mode on CPU and compiled on TPU.
 
 Measured outcome (v5e, honest fetch-synced timing, 100 obj x 512-d,
-gallery 3): 24.0-26.6k FPS vs 19.4k for the gather-free XLA scan —
-**x1.3** (x1.55 vs the pre-ARCHITECTURE-§4c XLA step).  The VisualSORT
+gallery 3): 24.0-27.0k FPS vs 18.6-19.4k for the gather-free XLA scan —
+**x1.3-1.45** (x1.55 vs the pre-ARCHITECTURE-§4c XLA step).  The VisualSORT
 step is where per-frame HBM round-trips still live (gallery reads for
 distances, feature intermediates, gallery writes for insert/evict);
 keeping them in VMEM is the win the SORT kernel couldn't get (see
