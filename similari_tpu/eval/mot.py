@@ -169,11 +169,17 @@ def run_sequence_device_visual(
     capacity: int = 512,
     gallery: int = 3,
     report_observed: bool = True,
+    engine: str = "xla",
 ) -> Tuple[Dict[int, List[Tuple[int, float, float, float, float]]], float]:
     """VisualSORT whole-sequence device pipeline (detections + ReID features).
 
     `features[frame][i]` aligns with `detections[frame][i]`; None entries fall
     back to positional voting for that detection.
+
+    engine="pallas" runs the fused VisualSORT-on-chip kernel
+    (`ops/pallas_visual.py`, state + gallery VMEM-resident — the fastest
+    single-scene path, ×1.3-1.45 over the XLA step on v5e); "xla" is the
+    general default.  Both are id-exact (property-tested parity).
     """
     import jax
     import jax.numpy as jnp
@@ -220,21 +226,49 @@ def run_sequence_device_visual(
         oriented=False,
         feature_precision="bf16",
     )
-    scan = compiled_visual_scan(cfg)
     state = new_visual_state(capacity, 1, gallery, fdim)
-    args = (
-        jnp.asarray(box), jnp.asarray(conf), jnp.asarray(valid),
-        jnp.asarray(feat), jnp.asarray(fvalid), jnp.asarray(qual),
-        jnp.asarray(oa), jnp.int32(1),
-    )
-    compiled = scan.lower(state, *args).compile()
-    t0 = time.perf_counter()
-    state, outs = compiled(state, *args)
-    jax.block_until_ready(outs)
-    fps = steps / (time.perf_counter() - t0)
+    if engine == "pallas":
+        from ..ops.pallas_visual import compiled_pallas_visual_scan
 
-    ids = np.asarray(outs.track_id)
-    pred = np.asarray(outs.pred_box)
+        chunk = min(16, steps) if steps % 16 else 16
+        pad = (-steps) % chunk  # pad with all-invalid trailing frames
+        if pad:
+            z = lambda a: np.concatenate(
+                [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+            box2, conf2, valid2 = z(box), z(conf), z(valid)
+            feat2, fvalid2, qual2, oa2 = z(feat), z(fvalid), z(qual), z(oa)
+        else:
+            box2, conf2, valid2 = box, conf, valid
+            feat2, fvalid2, qual2, oa2 = feat, fvalid, qual, oa
+        # Mosaic kernels need interpret mode on the CPU backend (tests)
+        scan = compiled_pallas_visual_scan(
+            cfg, chunk, interpret=jax.default_backend() == "cpu")
+        args = (
+            jnp.asarray(box2), jnp.asarray(conf2), jnp.asarray(valid2),
+            jnp.asarray(feat2), jnp.asarray(fvalid2), jnp.asarray(qual2),
+            jnp.asarray(oa2), jnp.int32(1),
+        )
+        compiled = scan.lower(state, *args).compile()
+        t0 = time.perf_counter()
+        state, (kids, _slots, kpred, _vt, _new, _len) = compiled(state, *args)
+        jax.block_until_ready(kids)
+        fps = steps / (time.perf_counter() - t0)
+        ids = np.asarray(kids)[:steps]
+        pred = np.asarray(kpred)[:steps]
+    else:
+        scan = compiled_visual_scan(cfg)
+        args = (
+            jnp.asarray(box), jnp.asarray(conf), jnp.asarray(valid),
+            jnp.asarray(feat), jnp.asarray(fvalid), jnp.asarray(qual),
+            jnp.asarray(oa), jnp.int32(1),
+        )
+        compiled = scan.lower(state, *args).compile()
+        t0 = time.perf_counter()
+        state, outs = compiled(state, *args)
+        jax.block_until_ready(outs)
+        fps = steps / (time.perf_counter() - t0)
+        ids = np.asarray(outs.track_id)
+        pred = np.asarray(outs.pred_box)
     out: Dict[int, List] = {}
     for s, f in enumerate(frames):
         n = int(valid[s].sum())

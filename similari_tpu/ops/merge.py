@@ -107,6 +107,17 @@ def reader_hit(slot: jax.Array, capacity: int) -> jax.Array:
     return slot[:, None] == jnp.arange(capacity, dtype=slot.dtype)[None, :]
 
 
+def _use_onehot() -> bool:
+    """One-hot contractions on accelerators, plain gathers on CPU.
+
+    Evaluated at trace time (jit caches are per-backend): a CPU gather is
+    O(D) and beats the O(D*T) contraction there, while on TPU the vmapped
+    gather serializes (x20 slower — ARCHITECTURE.md §4c).  Both forms are
+    exact, so this is purely a performance dispatch.
+    """
+    return jax.default_backend() != "cpu"
+
+
 def take_rows(table: jax.Array, slot: jax.Array) -> jax.Array:
     """g[D, ...] = table[slot[d]] as a one-hot contraction (no gather).
 
@@ -115,6 +126,8 @@ def take_rows(table: jax.Array, slot: jax.Array) -> jax.Array:
     which the merge invariants guarantee: every state write zeroes NaN/inf
     source rows (see ``_place``), and empty state is zero-initialized.
     """
+    if not _use_onehot():
+        return table[slot]
     d = slot.shape[0]
     t = table.shape[0]
     hot = reader_hit(slot, t)
@@ -139,6 +152,8 @@ def take_tree(table_tree, slot: jax.Array):
 
 def take_at(matrix: jax.Array, cols: jax.Array) -> jax.Array:
     """g[D] = matrix[d, cols[d]] without the 2-D gather."""
+    if not _use_onehot():
+        return matrix[jnp.arange(matrix.shape[0]), cols]
     t = matrix.shape[1]
     hot = cols[:, None] == jnp.arange(t, dtype=cols.dtype)[None, :]
     if matrix.dtype == jnp.bool_:
@@ -156,6 +171,11 @@ def nth_free_slot(active: jax.Array, want_rank: jax.Array) -> jax.Array:
     t = active.shape[0]
     free = ~active
     frank = jnp.cumsum(free.astype(jnp.int32)) - 1  # [T] rank among free
+    if not _use_onehot():
+        table = jnp.full((t,), t - 1, jnp.int32).at[
+            jnp.where(free, frank, t)
+        ].set(jnp.arange(t, dtype=jnp.int32), mode="drop")
+        return table[jnp.clip(want_rank, 0, t - 1)]
     hot = free[None, :] & (frank[None, :] == want_rank[:, None])
     cols = jnp.arange(t, dtype=jnp.int32)
     return jnp.min(jnp.where(hot, cols[None, :], t - 1), axis=1)

@@ -118,3 +118,20 @@ def test_mota_idf1_parity_with_reference_oracle():
     idd, idr = identity_metrics(gt, pred_dev), identity_metrics(gt, pred_ref)
     assert abs(cd["MOTA"] - cr["MOTA"]) <= 0.005, (cd, cr)
     assert abs(idd["IDF1"] - idr["IDF1"]) <= 0.005, (idd, idr)
+
+
+def test_visual_sequence_pallas_engine_matches_xla():
+    """engine="pallas" (fused VisualSORT-on-chip kernel) produces the same
+    track ids as the XLA step through the public pipeline API."""
+    from similari_tpu.eval import run_sequence_device_visual
+
+    gt, dets, feats = generate_sequence(
+        n_objects=8, n_frames=20, seed=3, p_miss=0.1, fp_per_frame=0.2,
+        feature_dim=16,
+    )
+    pred_x, _ = run_sequence_device_visual(dets, feats, capacity=64)
+    pred_p, _ = run_sequence_device_visual(
+        dets, feats, capacity=64, engine="pallas")
+    assert sorted(pred_x) == sorted(pred_p)
+    for f in pred_x:
+        assert pred_x[f] == pred_p[f], (f, pred_x[f], pred_p[f])
