@@ -238,9 +238,9 @@ def bench_batch_sort_scan(n_scenes, n_objects, base_len):
         states = new_batched_state(n_scenes, 2 * n_objects, 1)
         t0 = time.perf_counter()
         for i in range(k):
-            states, ids = scan(states, stream, conf, valid,
-                               jnp.full((n_scenes,), 1 + i * base_len,
-                                        jnp.int32))
+            states, (ids, _ovf) = scan(states, stream, conf, valid,
+                                       jnp.full((n_scenes,), 1 + i * base_len,
+                                                jnp.int32))
         np.asarray(ids[-1, 0, 0])  # true sync
         return time.perf_counter() - t0
 

@@ -87,7 +87,7 @@ def measure_sort(mesh, n_dev, scenes, objects, n_small, n_big):
             new_batched_state(scenes, 2 * objects, 1), mesh
         )
         t0 = time.perf_counter()
-        states, ids, total_new = scan(
+        states, ids, total_new, _ovf = scan(
             states, stream, conf, valid, jnp.ones((scenes,), jnp.int32)
         )
         np.asarray(total_new)  # true sync (d2h fetch)
@@ -133,7 +133,7 @@ def measure_visual(mesh, n_dev, scenes, objects, feat_dim, n_small, n_big):
             mesh,
         )
         t0 = time.perf_counter()
-        states, ids, total_new = scan(
+        states, ids, total_new, _ovf = scan(
             states, stream, conf, valid, feat, valid, conf, conf,
             jnp.ones((scenes,), jnp.int32),
         )

@@ -32,7 +32,7 @@ if __name__ == "__main__":
         box[f, ..., 4] = 30.0
 
     states = new_batched_state(scenes, 2 * objects, 1)
-    states, ids = scan(
+    states, (ids, _ovf) = scan(
         states,
         jnp.asarray(box),
         jnp.ones((frames, scenes, objects), jnp.float32),

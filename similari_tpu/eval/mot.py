@@ -87,6 +87,23 @@ def run_sequence_interactive(
     return out
 
 
+def _check_overflow(overflow, capacity: int) -> None:
+    """Raise if any scanned frame overflowed the static track capacity.
+
+    With `recycle_idle=True` capacity bounds *live* tracks; an overflow then
+    means the scene genuinely held more simultaneous tracks than `capacity`
+    and silent drops would corrupt accuracy numbers — fail loudly so the
+    caller can grow capacity and retry.
+    """
+    flags = np.asarray(overflow)
+    if flags.any():
+        first = int(np.argmax(flags))
+        raise RuntimeError(
+            f"track store overflow at frame index {first}: more live tracks "
+            f"than capacity={capacity}; re-run with a larger capacity"
+        )
+
+
 def run_sequence_device(
     detections: Detections,
     method: str = "iou",
@@ -136,6 +153,7 @@ def run_sequence_device(
         max_idle_epochs=max_idle_epochs,
         assignment="auction",
         oriented=False,  # MOT data is axis-aligned LTWH
+        recycle_idle=True,  # capacity bounds live tracks over long sequences
     )
     scan = compiled_sort_scan(cfg)
     state = new_sort_state(capacity, 1)
@@ -144,10 +162,12 @@ def run_sequence_device(
     compiled = scan.lower(state, bj, cj, vj, jnp.int32(1)).compile()
     t0 = time.perf_counter()
     state, outs = compiled(state, bj, cj, vj, jnp.int32(1))
-    jax.block_until_ready(outs)
-    fps = steps / (time.perf_counter() - t0)
-
+    # real d2h fetch: block_until_ready can return before execution on the
+    # axon dev-TPU relay (ARCHITECTURE.md §6)
     ids = np.asarray(outs.track_id)
+    fps = steps / (time.perf_counter() - t0)
+    _check_overflow(outs.overflow, capacity)
+
     pred = np.asarray(outs.pred_box)
     out: Dict[int, List] = {}
     for s, f in enumerate(frames):
@@ -225,6 +245,7 @@ def run_sequence_device_visual(
         assignment="auction",
         oriented=False,
         feature_precision="bf16",
+        recycle_idle=True,
     )
     state = new_visual_state(capacity, 1, gallery, fdim)
     if engine == "pallas":
@@ -250,10 +271,13 @@ def run_sequence_device_visual(
         )
         compiled = scan.lower(state, *args).compile()
         t0 = time.perf_counter()
-        state, (kids, _slots, kpred, _vt, _new, _len) = compiled(state, *args)
-        jax.block_until_ready(kids)
+        state, (kids, _slots, kpred, _vt, _new, _len, ovf) = compiled(
+            state, *args)
+        # real d2h fetch (block_until_ready is unreliable on the axon relay)
+        ids_all = np.asarray(kids)
         fps = steps / (time.perf_counter() - t0)
-        ids = np.asarray(kids)[:steps]
+        _check_overflow(ovf, capacity)
+        ids = ids_all[:steps]
         pred = np.asarray(kpred)[:steps]
     else:
         scan = compiled_visual_scan(cfg)
@@ -265,9 +289,9 @@ def run_sequence_device_visual(
         compiled = scan.lower(state, *args).compile()
         t0 = time.perf_counter()
         state, outs = compiled(state, *args)
-        jax.block_until_ready(outs)
-        fps = steps / (time.perf_counter() - t0)
         ids = np.asarray(outs.track_id)
+        fps = steps / (time.perf_counter() - t0)
+        _check_overflow(outs.overflow, capacity)
         pred = np.asarray(outs.pred_box)
     out: Dict[int, List] = {}
     for s, f in enumerate(frames):

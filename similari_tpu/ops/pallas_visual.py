@@ -84,7 +84,7 @@ def _kernel(cfg: VisualConfig, c_frames: int, k: int, *refs):
      epoch_ref) = refs[:8]
     sin = refs[8:8 + n_state]
     sout = refs[8 + n_state:8 + 2 * n_state]
-    (out_ids, out_slots, out_pred, out_vt, out_new, out_len) = refs[
+    (out_ids, out_slots, out_pred, out_vt, out_new, out_len, out_ovf) = refs[
         8 + 2 * n_state:]
 
     (i_mp, i_mv, i_cpp, i_cpv, i_cvv, i_pred, i_obs, i_tconf, i_active,
@@ -148,6 +148,11 @@ def _kernel(cfg: VisualConfig, c_frames: int, k: int, *refs):
         # ---- compatibility + positional IoU weights ---------------------
         # (`track_attributes.rs:188-208`, `visual_sort/metric.rs:156-198`)
         compat = active & ((epoch - last) <= cfg.max_idle_epochs)  # [T]
+        if cfg.recycle_idle:
+            # in-step waste (`epoch_db.rs:51-65`): idle-beyond-max tracks are
+            # retired so capacity bounds *live* tracks, not cumulative ones.
+            # compat is exactly the live mask (no constraints in this kernel).
+            active = compat
         aw = box[:, 3] * box[:, 4]
         tw = pred[:, 3] * pred[:, 4]
         ix = (
@@ -269,13 +274,23 @@ def _kernel(cfg: VisualConfig, c_frames: int, k: int, *refs):
         new_slot = jnp.min(jnp.where(hit, tcol, t - 1), axis=1)
         slot = jnp.where(matched, tgt, new_slot)
         n_new = jnp.sum(is_new.astype(jnp.int32))
+        n_free = jnp.sum(free.astype(jnp.int32))
+        # overflow: mirror the XLA step (`visual_step.py`) — when new tracks
+        # exceed free slots the whole frame's writes are dropped (next_id
+        # still advances), instead of one-hot rows summing into slot t-1.
+        overflow = n_new > n_free
+        safe_f = 1.0 - overflow.astype(jnp.float32)  # scalar write gate
 
         # ---- one-hot scatter/gather matrices ---------------------------
-        oh = ((tcol == slot[:, None])
-              & (valid_row[:, None] > 0)).astype(jnp.float32)  # [D,T]
+        oh_b = (tcol == slot[:, None]) & (valid_row[:, None] > 0)  # [D,T]
+        oh = oh_b.astype(jnp.float32)
+        oh_w = oh * safe_f  # write-side one-hot (drops the frame on overflow)
         g = lambda a: jnp.dot(oh, a, preferred_element_type=jnp.float32)
         gv = lambda a: jnp.dot(oh, a[:, None],
                                preferred_element_type=jnp.float32)[:, 0]
+        # integer by-slot read (ids/lengths stay int32 end-to-end; a float
+        # matmul is only exact to 2^24)
+        gi = lambda a: jnp.sum(jnp.where(oh_b, a[None, :], 0), axis=1)
 
         # ---- Kalman update (same block structure as pallas_sort) --------
         h = box[:, 4]
@@ -306,13 +321,11 @@ def _kernel(cfg: VisualConfig, c_frames: int, k: int, *refs):
         u_cpv = n_cpv - n_cpp * gvn
         u_cvv = n_cvv - n_cpv * gvn
 
-        new_len = jnp.where(matched, gv(o_length[...].astype(jnp.float32)),
-                            0.0) + 1.0
+        new_len = jnp.where(matched, gi(o_length[...]), 0) + 1  # [D] int32
         new_ids = jnp.where(
-            matched,
-            gv(o_tid[...].astype(jnp.float32)),
-            (o_nid[0, 0].astype(jnp.float32) + new_rank),
-        )
+            matched, gi(o_tid[...]),
+            o_nid[0, 0] + new_rank.astype(jnp.int32),
+        )  # [D] int32
 
         # ---- gallery bookkeeping (`visual_sort/metric.rs:297-374`) ------
         matched_i = matched.astype(jnp.int32)
@@ -354,12 +367,15 @@ def _kernel(cfg: VisualConfig, c_frames: int, k: int, *refs):
             collected = collected + fv.astype(jnp.int32)
 
         # ---- scatter back: state' = (1-upd) * state + ohT @ value -------
-        upd_t = jnp.dot(oh.T, jnp.ones((d, 1), jnp.float32),
+        # (all writes go through oh_w, which zeroes on frame overflow)
+        upd_t = jnp.dot(oh_w.T, jnp.ones((d, 1), jnp.float32),
                         preferred_element_type=jnp.float32)  # [T,1]
         upd_t = jnp.minimum(upd_t, 1.0)
-        sc = lambda a: jnp.dot(oh.T, a, preferred_element_type=jnp.float32)
+        sc = lambda a: jnp.dot(oh_w.T, a, preferred_element_type=jnp.float32)
         scv = lambda a: sc(a[:, None])[:, 0]
         u1 = upd_t[:, 0]
+        ohw_b = oh_w > 0.5  # bool write mask [D,T]
+        sci = lambda a: jnp.sum(jnp.where(ohw_b, a[:, None], 0), axis=0)
 
         o_mp[...] = (1 - upd_t) * o_mp[...] + sc(u_mp)
         o_mv[...] = (1 - upd_t) * o_mv[...] + sc(u_mv)
@@ -369,12 +385,12 @@ def _kernel(cfg: VisualConfig, c_frames: int, k: int, *refs):
         o_pred[...] = (1 - upd_t) * o_pred[...] + sc(u_mp)
         o_obs[...] = (1 - upd_t) * o_obs[...] + sc(box)
         o_tconf[...] = (1 - u1) * o_tconf[...] + scv(conf)
-        o_active[...] = jnp.maximum(o_active[...], u1.astype(jnp.int32))
+        base_active = active.astype(jnp.int32) if cfg.recycle_idle \
+            else o_active[...]
+        o_active[...] = jnp.maximum(base_active, u1.astype(jnp.int32))
         o_last[...] = jnp.where(u1 > 0, epoch, o_last[...])
-        o_length[...] = jnp.where(
-            u1 > 0, scv(new_len).astype(jnp.int32), o_length[...])
-        o_tid[...] = jnp.where(
-            u1 > 0, scv(new_ids).astype(jnp.int32), o_tid[...])
+        o_length[...] = jnp.where(u1 > 0, sci(new_len), o_length[...])
+        o_tid[...] = jnp.where(u1 > 0, sci(new_ids), o_tid[...])
         o_nid[0, 0] = o_nid[0, 0] + n_new
 
         # feature rows of invalid/padded detections may carry junk; zero
@@ -383,7 +399,7 @@ def _kernel(cfg: VisualConfig, c_frames: int, k: int, *refs):
         feat_z = feat * valid_f[:, None]
         for i in range(k):
             wl = new_lane[i].astype(jnp.float32)           # [D]
-            hit_i = oh * wl[:, None]                       # [D,T]
+            hit_i = oh_w * wl[:, None]                     # [D,T]
             upd_i = jnp.dot(hit_i.T, jnp.ones((d, 1), jnp.float32),
                             preferred_element_type=jnp.float32)  # [T,1]
             upd_i = jnp.minimum(upd_i, 1.0)
@@ -404,12 +420,13 @@ def _kernel(cfg: VisualConfig, c_frames: int, k: int, *refs):
             u1 > 0, scv(featok_row.astype(jnp.float32)).astype(jnp.int32),
             o_lastfv[...])
 
-        out_ids[s] = new_ids.astype(jnp.int32)
+        out_ids[s] = new_ids
         out_slots[s] = slot.astype(jnp.int32)
         out_pred[s] = u_mp
         out_vt[s] = vt.astype(jnp.int32)
         out_new[s] = is_new.astype(jnp.int32)
-        out_len[s] = new_len.astype(jnp.int32)
+        out_len[s] = new_len
+        out_ovf[s, 0] = overflow.astype(jnp.int32)
         return ()
 
     jax.lax.fori_loop(0, c_frames, lambda s, c: frame(s, c), ())
@@ -444,13 +461,14 @@ def pallas_visual_chunk(cfg: VisualConfig, c_frames: int, d: int, t: int,
         jax.ShapeDtypeStruct((c_frames, d), jnp.int32),  # voting type
         jax.ShapeDtypeStruct((c_frames, d), jnp.int32),  # is_new
         jax.ShapeDtypeStruct((c_frames, d), jnp.int32),  # length
+        jax.ShapeDtypeStruct((c_frames, 1), jnp.int32),  # overflow flag
     ]
     n_state = len(state_shapes)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     in_specs = [vspec] * 7 + [sspec] + [vspec] * n_state
     in_specs[8 + n_state - 1] = sspec  # nid scalar lives in SMEM
-    out_specs = [vspec] * n_state + [vspec] * 6
+    out_specs = [vspec] * n_state + [vspec] * 6 + [sspec]
     out_specs[n_state - 1] = sspec
 
     # VMEM budget: auction temporaries [D, D+T], K gallery planes (in+out),
@@ -562,7 +580,7 @@ def compiled_pallas_visual_scan(cfg: VisualConfig, chunk: int,
             frame_outs = outs[n_state:]
             return (st2, e0 + chunk), frame_outs
 
-        (st2, _), (ids, slots, pred, vt, newf, length) = jax.lax.scan(
+        (st2, _), (ids, slots, pred, vt, newf, length, ovf) = jax.lax.scan(
             body, (state_to_tuple(state), epoch0),
             (boxes, confs, valids, feats, fvalids, quals, oas),
         )
@@ -570,6 +588,7 @@ def compiled_pallas_visual_scan(cfg: VisualConfig, chunk: int,
         return new_state, (
             ids.reshape(s, d), slots.reshape(s, d), pred.reshape(s, d, 5),
             vt.reshape(s, d), newf.reshape(s, d), length.reshape(s, d),
+            ovf.reshape(s) > 0,
         )
 
     return jax.jit(run, donate_argnums=(0,))

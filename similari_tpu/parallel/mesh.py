@@ -69,22 +69,23 @@ def pod_sharded_sort_scan(cfg: SortConfig, mesh: Mesh):
         def body(st, inp):
             box, conf, valid, i = inp
             st, out = vstep(st, box, conf, valid, epochs0 + i)
-            return st, (out.track_id, out.is_new)
+            return st, (out.track_id, out.is_new, out.overflow)
 
         steps = det_box.shape[0]
         idx = jnp.arange(steps, dtype=jnp.int32)
-        states, (ids, is_new) = jax.lax.scan(
+        states, (ids, is_new, ovf) = jax.lax.scan(
             body, states, (det_box, det_conf, det_valid, idx)
         )
         total_new = jax.lax.psum(jnp.sum(is_new.astype(jnp.int32)), axes)
-        return states, ids, total_new
+        total_ovf = jax.lax.psum(jnp.sum(ovf.astype(jnp.int32)), axes)
+        return states, ids, total_new, total_ovf
 
     spec = pod_scene_spec()
     mapped = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(spec, P(None, *spec), P(None, *spec), P(None, *spec), spec),
-        out_specs=(spec, P(None, *spec), P()),
+        out_specs=(spec, P(None, *spec), P(), P()),
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0,))
@@ -145,7 +146,7 @@ def batched_sort_scan(cfg: SortConfig):
         def body(st, inp):
             box, conf, valid, i = inp
             st, out = vstep(st, box, conf, valid, epochs0 + i)
-            return st, out.track_id
+            return st, (out.track_id, out.overflow)
 
         steps = det_box.shape[0]
         idx = jnp.arange(steps, dtype=jnp.int32)
@@ -192,7 +193,7 @@ def batched_visual_scan(cfg: VisualConfig):
         def body(st, inp):
             b, c, v, fe, fv, q, o, i = inp
             st, out = vstep(st, b, c, v, fe, fv, q, o, epochs0 + i)
-            return st, (out.track_id, out.voting_type)
+            return st, (out.track_id, out.voting_type, out.overflow)
 
         steps = box.shape[0]
         idx = jnp.arange(steps, dtype=jnp.int32)
@@ -218,15 +219,16 @@ def sharded_sort_scan(cfg: SortConfig, mesh: Mesh):
         def body(st, inp):
             box, conf, valid, i = inp
             st, out = vstep(st, box, conf, valid, epochs0 + i)
-            return st, (out.track_id, out.is_new)
+            return st, (out.track_id, out.is_new, out.overflow)
 
         steps = det_box.shape[0]
         idx = jnp.arange(steps, dtype=jnp.int32)
-        states, (ids, is_new) = jax.lax.scan(
+        states, (ids, is_new, ovf) = jax.lax.scan(
             body, states, (det_box, det_conf, det_valid, idx)
         )
         total_new = jax.lax.psum(jnp.sum(is_new.astype(jnp.int32)), SCENE_AXIS)
-        return states, ids, total_new
+        total_ovf = jax.lax.psum(jnp.sum(ovf.astype(jnp.int32)), SCENE_AXIS)
+        return states, ids, total_new, total_ovf
 
     mapped = jax.shard_map(
         local,
@@ -238,7 +240,7 @@ def sharded_sort_scan(cfg: SortConfig, mesh: Mesh):
             P(None, SCENE_AXIS),
             P(SCENE_AXIS),  # epochs0
         ),
-        out_specs=(P(SCENE_AXIS), P(None, SCENE_AXIS), P()),
+        out_specs=(P(SCENE_AXIS), P(None, SCENE_AXIS), P(), P()),
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0,))
@@ -258,21 +260,22 @@ def sharded_visual_scan(cfg: VisualConfig, mesh: Mesh):
         def body(st, inp):
             b, c, v, fe, fv, q, o, i = inp
             st, out = vstep(st, b, c, v, fe, fv, q, o, epochs0 + i)
-            return st, (out.track_id, out.is_new)
+            return st, (out.track_id, out.is_new, out.overflow)
 
         steps = box.shape[0]
         idx = jnp.arange(steps, dtype=jnp.int32)
-        states, (ids, is_new) = jax.lax.scan(
+        states, (ids, is_new, ovf) = jax.lax.scan(
             body, states, (box, conf, valid, feat, fvalid, qual, oa, idx)
         )
         total_new = jax.lax.psum(jnp.sum(is_new.astype(jnp.int32)), SCENE_AXIS)
-        return states, ids, total_new
+        total_ovf = jax.lax.psum(jnp.sum(ovf.astype(jnp.int32)), SCENE_AXIS)
+        return states, ids, total_new, total_ovf
 
     mapped = jax.shard_map(
         local,
         mesh=mesh,
         in_specs=(P(SCENE_AXIS),) + (P(None, SCENE_AXIS),) * 7 + (P(SCENE_AXIS),),
-        out_specs=(P(SCENE_AXIS), P(None, SCENE_AXIS), P()),
+        out_specs=(P(SCENE_AXIS), P(None, SCENE_AXIS), P(), P()),
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0,))

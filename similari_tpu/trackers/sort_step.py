@@ -65,6 +65,12 @@ class SortConfig:
     # (~700 ops/pair); the Sort API flips it automatically when a rotated
     # box is first seen in a scene.
     oriented: bool = True
+    # in-step waste (`epoch_db.rs:51-65` semantics): retire tracks idle past
+    # max_idle_epochs at the top of every step so slots are recycled and the
+    # static capacity bounds *live* tracks, not cumulative tracks ever
+    # created.  Off by default for the host engines (which run auto_waste
+    # themselves and must read wasted snapshots); on for scan pipelines.
+    recycle_idle: bool = False
 
     @property
     def new_track_threshold(self) -> float:
@@ -136,6 +142,15 @@ def sort_step(
     d = det_box.shape[0]
     t = state.capacity
     spec = cfg.kalman_spec
+
+    if cfg.recycle_idle:
+        # retire idle-beyond-max tracks up front (they are already
+        # incompatible, so matching is unchanged — only slot reuse differs)
+        state = dataclasses.replace(
+            state,
+            active=state.active
+            & (epoch - state.last_epoch <= cfg.max_idle_epochs),
+        )
 
     W = distance_weights(cfg, state, det_box, det_conf, epoch)
     col = asg.solve_voting(

@@ -79,6 +79,9 @@ class VisualConfig:
     feature_precision: str = "f32"
     # static oriented-box flag (see SortConfig.oriented)
     oriented: bool = True
+    # in-step waste (see SortConfig.recycle_idle): recycle idle-beyond-max
+    # slots so capacity bounds live tracks in long scan pipelines
+    recycle_idle: bool = False
 
     @property
     def new_track_threshold(self) -> float:
@@ -187,6 +190,13 @@ def visual_step(
     t = state.capacity
     k = state.gallery_size
     spec = cfg.kalman_spec
+
+    if cfg.recycle_idle:
+        state = dataclasses.replace(
+            state,
+            active=state.active
+            & (epoch - state.last_epoch <= cfg.max_idle_epochs),
+        )
 
     compat = _compat_matrix(cfg, state, det_box, epoch)
     P, p_valid = positional_weights(cfg, state, det_box, det_conf, compat)

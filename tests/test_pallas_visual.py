@@ -67,9 +67,10 @@ def test_pallas_visual_scan_matches_xla(seed, cfg_ix):
 
     run = compiled_pallas_visual_scan(cfg, chunk=4, interpret=True)
     state_b = new_visual_state(t, 1, k, f)
-    state_b, (ids, slots, pred, vt, newf, length) = run(
+    state_b, (ids, slots, pred, vt, newf, length, ovf) = run(
         state_b, bj, conf, vj, fj, flj, qj, oa, jnp.int32(1)
     )
+    assert not np.asarray(ovf).any()
 
     mask = np.asarray(valid)
     np.testing.assert_array_equal(
@@ -119,3 +120,65 @@ def test_pallas_visual_scan_matches_xla(seed, cfg_ix):
         rtol=1e-6, atol=1e-6,
     )
     assert int(state_b.next_id) >= int(jnp.max(state_b.track_id))
+
+
+@pytest.mark.parametrize("recycle", [False, True])
+def test_pallas_visual_overflow_parity(recycle):
+    """Overflow regime (capacity < cumulative tracks): the kernel must match
+    the XLA step exactly — drop the overflowing frame's writes, keep
+    advancing next_id — instead of summing one-hot rows into slot t-1
+    (round-2 advisor finding)."""
+    cfg = VisualConfig(
+        positional_kind="iou", oriented=False, assignment="auction",
+        visual_kind="euclidean", visual_threshold=5.0,
+        visual_minimal_track_length=2, max_idle_epochs=2,
+        recycle_idle=recycle,
+    )
+    steps, d, t, k, f = 8, 8, 8, 3, 16
+    # far-apart fresh objects every frame => a new track per detection per
+    # frame, so capacity t=8 overflows on frame 2 (or recycles if enabled)
+    rng = np.random.default_rng(7)
+    box = np.zeros((steps, d, 5), np.float32)
+    for s in range(steps):
+        box[s, :, 0] = rng.uniform(0, 1e5, d)
+        box[s, :, 1] = rng.uniform(0, 1e5, d)
+        box[s, :, 3] = 0.5
+        box[s, :, 4] = 25.0
+    feat = rng.normal(size=(steps, d, f)).astype(np.float32)
+    conf = jnp.ones((steps, d), jnp.float32)
+    truv = jnp.ones((steps, d), bool)
+    oa = jnp.ones((steps, d), jnp.float32)
+    bj, fj = jnp.asarray(box), jnp.asarray(feat)
+
+    state_a = new_visual_state(t, 1, k, f)
+    state_a, outs_a = visual_scan(
+        cfg, state_a, bj, conf, truv, fj, truv, conf, oa, jnp.int32(1)
+    )
+    run = compiled_pallas_visual_scan(cfg, chunk=4, interpret=True)
+    state_b = new_visual_state(t, 1, k, f)
+    state_b, (ids, slots, pred, vt, newf, length, ovf) = run(
+        state_b, bj, conf, truv, fj, truv, conf, oa, jnp.int32(1)
+    )
+
+    np.testing.assert_array_equal(np.asarray(ovf), np.asarray(outs_a.overflow))
+    flags = np.asarray(ovf)
+    if recycle:
+        # slots recycle once idle > max_idle (delta 3): frames 0, 3, 6 write
+        assert not flags[0] and not flags[3] and not flags[6]
+        assert flags[1] and flags[2]
+    else:
+        # active is monotone without recycling: every later frame overflows
+        assert not flags[0]
+        assert flags[1:].all()
+    np.testing.assert_array_equal(
+        np.asarray(state_b.active), np.asarray(state_a.active))
+    np.testing.assert_array_equal(
+        np.asarray(state_b.track_id), np.asarray(state_a.track_id))
+    np.testing.assert_array_equal(
+        np.asarray(state_b.length), np.asarray(state_a.length))
+    assert int(state_b.next_id) == int(state_a.next_id)
+    np.testing.assert_allclose(
+        np.asarray(state_b.obs_box), np.asarray(state_a.obs_box),
+        rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(
+        np.asarray(ids), np.asarray(outs_a.track_id))

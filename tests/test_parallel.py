@@ -96,7 +96,7 @@ def test_sharded_scan_over_mesh():
         box[f, ..., 3] = 0.5
         box[f, ..., 4] = 20.0
     run = sharded_sort_scan(cfg, mesh)
-    states, ids, total_new = run(
+    states, ids, total_new, total_ovf = run(
         states,
         jnp.asarray(box),
         jnp.ones((frames, s, d), jnp.float32),
@@ -104,6 +104,7 @@ def test_sharded_scan_over_mesh():
         jnp.ones((s,), jnp.int32),
     )
     assert int(total_new) == s * d  # only the first frame creates tracks
+    assert int(total_ovf) == 0
     ids = np.asarray(ids)
     for f in range(1, frames):
         np.testing.assert_array_equal(ids[f], ids[0])
@@ -135,7 +136,7 @@ def test_pod_mesh_2d():
         box[f, ..., 3] = 0.5
         box[f, ..., 4] = 20.0
     run = pod_sharded_sort_scan(cfg, mesh)
-    states, ids, total_new = run(
+    states, ids, total_new, total_ovf = run(
         states,
         jnp.asarray(box),
         jnp.ones((frames, s, d), jnp.float32),
@@ -143,5 +144,6 @@ def test_pod_mesh_2d():
         jnp.ones((s,), jnp.int32),
     )
     assert int(total_new) == s * d
+    assert int(total_ovf) == 0
     ids = np.asarray(ids)
     np.testing.assert_array_equal(ids[1], ids[0])
