@@ -93,10 +93,17 @@ def main():
                f"abewley {ab:.3f} ms [x{ab / ms:.2f}]" if ref else "")
         log(f"{n:5d} objects: {ms:8.3f} ms/predict ({1e3 / ms:8.1f} FPS){cmp}")
 
+    vs_ref = {
+        f"sort_{n}_x_reference": round(REFERENCE_MS[n] / rows[f"sort_{n}_ms"], 2)
+        for n in args.objects if n in REFERENCE_MS
+    }
     print(json.dumps({
         "metric": "interactive_sort_latency_ms",
         "platform": "cpu",
+        "engine": "host (native C++ step, trackers/host_sort.py)",
+        "reference_ms": {str(k): v for k, v in REFERENCE_MS.items()},
         "rows": rows,
+        "vs_reference": vs_ref,
     }))
 
 

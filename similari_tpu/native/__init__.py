@@ -17,7 +17,11 @@ from typing import Optional
 
 import numpy as np
 
-_SRCS = [Path(__file__).parent / "lap.cpp", Path(__file__).parent / "motloader.cpp"]
+_SRCS = [
+    Path(__file__).parent / "lap.cpp",
+    Path(__file__).parent / "motloader.cpp",
+    Path(__file__).parent / "sortstep.cpp",
+]
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
@@ -79,6 +83,21 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint8),
     ]
     lib.mot_free.argtypes = [ctypes.c_void_p]
+    F = ctypes.POINTER(ctypes.c_float)
+    I = ctypes.POINTER(ctypes.c_int32)
+    U8 = ctypes.POINTER(ctypes.c_uint8)
+    lib.sort_step_host.argtypes = [
+        ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_int,
+        ctypes.c_float, ctypes.c_float, ctypes.c_float, F, ctypes.c_int,
+        F, F, F, F, F,  # kf
+        F, F,  # pred/obs box
+        F, U8, I, I, I,  # conf, active, last_epoch, length, track_id
+        F, F, F,  # histories
+        ctypes.c_int, ctypes.c_int, ctypes.c_int,  # T, H, next_id
+        F, F, ctypes.c_int, ctypes.c_int,  # det_box, det_conf, D, epoch
+        I, I, U8, F, I, I,  # outputs
+    ]
+    lib.sort_step_host.restype = ctypes.c_int
     return lib
 
 
@@ -138,6 +157,154 @@ def lap_max_batch(weights: np.ndarray, n_threads: int = 0) -> np.ndarray:
     if err:
         raise RuntimeError(f"lap_solve_batch_max failed: {err}")
     return out
+
+
+def sort_step_available() -> bool:
+    lib = _get_lib()
+    return lib is not None and hasattr(lib, "sort_step_host")
+
+
+class SortStepSession:
+    """Per-store native step with prebuilt ctypes arguments.
+
+    The 24 state pointers and 9 config scalars never change between calls
+    (state columns are mutated in place; the buffers only move on `grow`, at
+    which point the caller rebuilds the session), so per-call work is just
+    the two detection pointers, scalars, and output buffers.
+    """
+
+    __slots__ = ("_lib", "_pre", "_cons", "_state", "_outbufs", "_outcap")
+
+    def __init__(self, cfg, state):
+        self._lib = _get_lib()
+        assert self._lib is not None
+        F = ctypes.POINTER(ctypes.c_float)
+        U8 = ctypes.POINTER(ctypes.c_uint8)
+        I = ctypes.POINTER(ctypes.c_int32)
+
+        def f(a):
+            assert a.flags.c_contiguous, "state leaves must be C-contiguous"
+            return a.ctypes.data_as(F)
+
+        def ip(a):
+            assert a.flags.c_contiguous, "state leaves must be C-contiguous"
+            return a.ctypes.data_as(I)
+
+        cons = np.ascontiguousarray(
+            np.asarray(sorted(cfg.constraints), np.float32).reshape(-1)) \
+            if cfg.constraints else np.zeros((0,), np.float32)
+        self._cons = cons  # keep alive (ctypes holds a raw pointer)
+        self._pre = (
+            0 if cfg.method == "iou" else 1,
+            cfg.iou_threshold, cfg.min_confidence, cfg.max_idle_epochs,
+            cfg.position_weight, cfg.velocity_weight, cfg.new_track_threshold,
+            f(cons), len(cfg.constraints),
+            f(state.kf.mean_pos), f(state.kf.mean_vel), f(state.kf.cpp),
+            f(state.kf.cpv), f(state.kf.cvv),
+            f(state.pred_box), f(state.obs_box),
+            f(state.conf), state.active.ctypes.data_as(U8),
+            ip(state.last_epoch), ip(state.length), ip(state.track_id),
+            f(state.hist_obs), f(state.hist_pred), f(state.hist_conf),
+            state.capacity, state.history,
+        )
+        self._state = state  # keep buffers alive (ctypes holds raw pointers)
+        self._outcap = 0
+        self._outbufs = None
+
+    def _outs(self, d):
+        if d > self._outcap:
+            cap = max(16, 1 << (d - 1).bit_length())
+            self._outbufs = (
+                np.empty((cap,), np.int32), np.empty((cap,), np.int32),
+                np.empty((cap,), np.uint8), np.empty((cap, 5), np.float32),
+                np.empty((cap,), np.int32), np.empty((1,), np.int32),
+            )
+            self._outcap = cap
+        return self._outbufs
+
+    def step(self, det_box, det_conf, epoch: int, next_id: int):
+        """Returns (nid, slot, track_id, is_new, pred_box, length); the
+        array views are into reused buffers — copy if kept across calls."""
+        d = det_box.shape[0]
+        if not det_box.flags.c_contiguous or det_box.dtype != np.float32:
+            det_box = np.ascontiguousarray(det_box, np.float32)
+        if not det_conf.flags.c_contiguous or det_conf.dtype != np.float32:
+            det_conf = np.ascontiguousarray(det_conf, np.float32)
+        o_slot, o_id, o_new, o_pred, o_len, o_nid = self._outs(d)
+        F = ctypes.POINTER(ctypes.c_float)
+        I = ctypes.POINTER(ctypes.c_int32)
+        U8 = ctypes.POINTER(ctypes.c_uint8)
+        rc = self._lib.sort_step_host(
+            *self._pre, next_id,
+            det_box.ctypes.data_as(F), det_conf.ctypes.data_as(F), d, epoch,
+            o_slot.ctypes.data_as(I), o_id.ctypes.data_as(I),
+            o_new.ctypes.data_as(U8), o_pred.ctypes.data_as(F),
+            o_len.ctypes.data_as(I), o_nid.ctypes.data_as(I),
+        )
+        if rc == 1:
+            raise RuntimeError("track store overflow")
+        if rc:
+            raise RuntimeError(f"sort_step_host failed: {rc}")
+        return (int(o_nid[0]), o_slot[:d], o_id[:d], o_new[:d].astype(bool),
+                o_pred[:d], o_len[:d])
+
+
+def sort_step_host(cfg, state, det_box, det_conf, epoch: int):
+    """Full SORT epoch in one native call (see sortstep.cpp).
+
+    Mutates the np-leaf `state` in place; returns
+    (next_id, slot, track_id, is_new, pred_box, length) or None when the
+    native library is unavailable (caller falls back to the NumPy step).
+    Raises on capacity overflow (callers grow preemptively).
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    d = det_box.shape[0]
+    F = ctypes.POINTER(ctypes.c_float)
+    I = ctypes.POINTER(ctypes.c_int32)
+    U8 = ctypes.POINTER(ctypes.c_uint8)
+
+    def f(a):
+        return a.ctypes.data_as(F)
+
+    def ip(a):
+        return a.ctypes.data_as(I)
+
+    cons = np.asarray(
+        sorted(cfg.constraints), np.float32).reshape(-1) if cfg.constraints \
+        else np.zeros((0,), np.float32)
+    det_box = np.ascontiguousarray(det_box, np.float32)
+    det_conf = np.ascontiguousarray(det_conf, np.float32)
+    out_slot = np.empty((d,), np.int32)
+    out_id = np.empty((d,), np.int32)
+    out_new = np.empty((d,), np.uint8)
+    out_pred = np.empty((d, 5), np.float32)
+    out_len = np.empty((d,), np.int32)
+    out_nid = np.empty((1,), np.int32)
+    rc = lib.sort_step_host(
+        0 if cfg.method == "iou" else 1,
+        cfg.iou_threshold, cfg.min_confidence, cfg.max_idle_epochs,
+        cfg.position_weight, cfg.velocity_weight, cfg.new_track_threshold,
+        f(cons), len(cfg.constraints),
+        f(state.kf.mean_pos), f(state.kf.mean_vel), f(state.kf.cpp),
+        f(state.kf.cpv), f(state.kf.cvv),
+        f(state.pred_box), f(state.obs_box),
+        f(state.conf), state.active.ctypes.data_as(U8),
+        ip(state.last_epoch), ip(state.length), ip(state.track_id),
+        f(state.hist_obs), f(state.hist_pred), f(state.hist_conf),
+        state.capacity, state.history, int(state.next_id),
+        f(det_box), f(det_conf), d, epoch,
+        ip(out_slot), ip(out_id), out_new.ctypes.data_as(U8),
+        f(out_pred), ip(out_len), ip(out_nid),
+    )
+    if rc == 1:
+        raise RuntimeError(
+            f"track store overflow (capacity {state.capacity})")
+    if rc:
+        raise RuntimeError(f"sort_step_host failed: {rc}")
+    return (int(out_nid[0]), out_slot, out_id, out_new.astype(bool),
+            out_pred, out_len)
 
 
 def _load_sequence_soa_numpy(path):

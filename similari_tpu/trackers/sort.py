@@ -114,6 +114,8 @@ class _SceneStore:
         self.has_custom = np.zeros((capacity,), bool)
         self.active_count = 0
         self.oriented = False  # sticky: flips when a rotated box is seen
+        self.host = False  # True while state leaves are np.ndarrays
+        self.session = None  # cached native step (rebuilt when buffers move)
 
     def grow(self, min_capacity: int):
         cap = self.state.capacity
@@ -121,7 +123,13 @@ class _SceneStore:
         while new_cap < min_capacity:
             new_cap *= 2
         if new_cap != cap:
-            self.state = grow_state(self.state, new_cap)
+            if self.host:
+                from .host_sort import host_grow
+
+                self.state = host_grow(self.state, new_cap)
+            else:
+                self.state = grow_state(self.state, new_cap)
+            self.session = None  # state buffers moved
             self.custom_ids = np.concatenate(
                 [self.custom_ids, np.full((new_cap - cap,), -1, np.int64)]
             )
@@ -155,8 +163,15 @@ class Sort:
         *,
         initial_capacity: int = 128,
         assignment_backend: str = "auto",
+        engine: str = "auto",
     ):
+        """engine: "host" = NumPy per-call fast path (interactive latency),
+        "device" = jitted step, "auto" = host for axis-aligned configs
+        (per-call dispatch overhead dwarfs the math there — see
+        trackers/host_sort.py), device for oriented boxes."""
         assert bbox_history > 0
+        assert engine in ("auto", "host", "device")
+        self._engine = engine
         method = method or PositionalMetricType.maha()
         stc = spatio_temporal_constraints or SpatioTemporalConstraints()
         self._cfg = SortConfig(
@@ -270,6 +285,60 @@ class Sort:
         self._tick_auto_waste()
         epoch = self._next_epoch(scene_id)
         d = det_box.shape[0]
+        store = self._get_store(scene_id)
+        store.grow(store.active_count + d)
+        store.oriented = store.oriented or bool((det_box[:, 2] != 0).any())
+
+        use_host = self._engine == "host" or (
+            self._engine == "auto" and not store.oriented
+        )
+        if use_host:
+            from .. import native
+            from . import host_sort
+
+            if not store.host:
+                store.state = host_sort.state_to_host(store.state)
+                store.host = True
+                store.session = None
+            if native.sort_step_available():
+                if store.session is None:
+                    store.session = native.SortStepSession(
+                        self._cfg, store.state)
+                nid, slot, track_id, is_new, pred_box, length = \
+                    store.session.step(
+                        det_box, det_conf, epoch, self._next_track_id)
+                store.state.next_id[...] = nid
+            else:
+                state = dataclasses.replace(
+                    store.state, next_id=np.int32(self._next_track_id)
+                )
+                state, hout = host_sort.host_sort_step(
+                    self._cfg, state, det_box, det_conf, epoch
+                )
+                store.state = state
+                slot = hout["slot"]
+                track_id = hout["track_id"]
+                is_new = hout["is_new"]
+                pred_box = hout["pred_box"]
+                length = hout["length"]
+                nid = int(state.next_id)
+            self._next_track_id = nid
+            store.active_count += int(is_new.sum())
+            if customs is not None:
+                for i in range(d):
+                    s = int(slot[i])
+                    cid = customs[i]
+                    store.custom_ids[s] = -1 if cid is None else cid
+                    store.has_custom[s] = cid is not None
+            return epoch, track_id, pred_box, length, slot
+
+        if store.host:
+            from . import host_sort
+
+            store.state = host_sort.state_to_device(store.state)
+            store.host = False
+            store.session = None
+
         dpad = _pad_pow2(d)
         box = np.zeros((dpad, 5), np.float32)
         conf = np.zeros((dpad,), np.float32)
@@ -278,9 +347,6 @@ class Sort:
         conf[:d] = det_conf
         valid[:d] = True
 
-        store = self._get_store(scene_id)
-        store.grow(store.active_count + d)
-        store.oriented = store.oriented or bool((det_box[:, 2] != 0).any())
         store.state = dataclasses.replace(
             store.state, next_id=jnp.int32(self._next_track_id)
         )
@@ -363,11 +429,14 @@ class Sort:
                     observed_boxes=obs,
                 )
             )
-        # deactivate the slots on device
-        sl = jnp.asarray(slots)
-        store.state = dataclasses.replace(
-            store.state, active=store.state.active.at[sl].set(False)
-        )
+        # deactivate the slots (in place on host, .at[] on device)
+        if isinstance(store.state.active, np.ndarray):
+            store.state.active[slots] = False
+        else:
+            sl = jnp.asarray(slots)
+            store.state = dataclasses.replace(
+                store.state, active=store.state.active.at[sl].set(False)
+            )
         store.active_count -= len(slots)
         store.has_custom[slots] = False
 
