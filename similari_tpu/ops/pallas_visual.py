@@ -20,12 +20,16 @@ Reference semantics fused here (same citations as the XLA step):
   * gallery maintenance: quality-sorted eviction + collect gates
     (`visual_sort/metric.rs:297-374`).
 
-Scope (the production online-MOT configuration, mirrors `pallas_sort`):
-  * positional metric = IoU on axis-aligned boxes, no spatio-temporal
-    constraints, history depth 1;
+Scope (the production online-MOT configurations, mirrors `pallas_sort`):
+  * positional metric = IoU or Mahalanobis on axis-aligned boxes (the KF
+    state is VMEM-resident, so the chi2-gated distance is fused too),
+    spatio-temporal constraints supported, history depth 1;
   * euclidean or cosine feature metric, all quality/area gates supported;
   * own-area shares must be precomputed (host backend) when own-area gating
     is on — the device own-area expansion (`ops/ownarea.py`) is not fused.
+  * batch workloads stay on the XLA engine — measured, not argued:
+    scenes-sequential kernels cost 31-41 us/scene-frame vs the XLA batch
+    engine's 8.2 at the knee (`tools/experiment_pallas_batch.py`).
 
 Design notes:
   * The gallery is held as K separate [T, F] planes (K is small and
@@ -104,7 +108,7 @@ def _kernel(cfg: VisualConfig, c_frames: int, k: int, *refs):
     d = box_ref.shape[1]
     t = i_pred.shape[0]
     pw, vw = cfg.position_weight, cfg.velocity_weight
-    thr = cfg.iou_threshold
+    thr = cfg.new_track_threshold  # iou_threshold | maha 1.0
     euclid = cfg.visual_kind == "euclidean"
     bf16 = cfg.feature_precision == "bf16"
 
@@ -140,39 +144,88 @@ def _kernel(cfg: VisualConfig, c_frames: int, k: int, *refs):
         dvalid = valid_row > 0
         featok = featok_row > 0
         epoch = epoch_ref[0, 0] + s
+        valid_f = (valid_row > 0).astype(jnp.float32)  # [D]
+        # invalid/padded rows may carry ZERO boxes; a zero height makes the
+        # KF update divide 0/0 and the resulting NaN would poison every slot
+        # through the one-hot scatter matmuls (0 * NaN = NaN).  Replace them
+        # with a unit box (aspect=1, h=1) — their writes are masked anyway.
+        unit = (lane5 >= 3).astype(jnp.float32)  # [5] = (0,0,0,1,1)
+        box = box * valid_f[:, None] + (1.0 - valid_f)[:, None] * unit[None, :]
 
         active = o_active[...] > 0           # [T]
         pred = o_pred[...]                   # [T,5]
         last = o_last[...]                   # [T]
 
-        # ---- compatibility + positional IoU weights ---------------------
+        # ---- compatibility + positional weights -------------------------
         # (`track_attributes.rs:188-208`, `visual_sort/metric.rs:156-198`)
         compat = active & ((epoch - last) <= cfg.max_idle_epochs)  # [T]
         if cfg.recycle_idle:
             # in-step waste (`epoch_db.rs:51-65`): idle-beyond-max tracks are
-            # retired so capacity bounds *live* tracks, not cumulative ones.
-            # compat is exactly the live mask (no constraints in this kernel).
+            # retired so capacity bounds *live* tracks, not cumulative ones
             active = compat
-        aw = box[:, 3] * box[:, 4]
-        tw = pred[:, 3] * pred[:, 4]
-        ix = (
-            jnp.minimum(box[:, 0:1] + aw[:, None] * 0.5,
-                        (pred[:, 0] + tw * 0.5)[None, :])
-            - jnp.maximum(box[:, 0:1] - aw[:, None] * 0.5,
-                          (pred[:, 0] - tw * 0.5)[None, :])
-        )
-        iy = (
-            jnp.minimum(box[:, 1:2] + box[:, 4:5] * 0.5,
-                        (pred[:, 1] + pred[:, 4] * 0.5)[None, :])
-            - jnp.maximum(box[:, 1:2] - box[:, 4:5] * 0.5,
-                          (pred[:, 1] - pred[:, 4] * 0.5)[None, :])
-        )
-        inter = jnp.where((ix > 0) & (iy > 0), ix * iy, 0.0)  # [D,T]
-        union = (aw * box[:, 4])[:, None] + (tw * pred[:, 4])[None, :] - inter
-        iou = inter / jnp.where(inter > 0, union, 1.0)
+        # det/track enclosing radii + center distance (too_far / constraints)
+        hwd = box[:, 3] * box[:, 4] * 0.5
+        hhd = box[:, 4] * 0.5
+        r_det = jnp.sqrt(hwd * hwd + hhd * hhd)  # [D]
+        hwt = pred[:, 3] * pred[:, 4] * 0.5
+        hht = pred[:, 4] * 0.5
+        r_trk = jnp.sqrt(hwt * hwt + hht * hht)  # [T]
+        dx = box[:, 0:1] - pred[:, 0][None, :]
+        dy = box[:, 1:2] - pred[:, 1][None, :]
+        cd2 = dx * dx + dy * dy  # [D,T]
+        rsum = r_det[:, None] + r_trk[None, :]
+        if cfg.constraints:
+            # SpatioTemporalConstraints::validate (`spatio_temporal_
+            # constraints.rs:48-59`): first constraint with d >= delta
+            delta = epoch - last  # [T]
+            allowed = jnp.full(delta.shape, 3.0e38, jnp.float32)
+            for dd, max_dist in sorted(cfg.constraints, reverse=True):
+                allowed = jnp.where(delta <= dd, jnp.float32(max_dist),
+                                    allowed)
+            d2r = jnp.sqrt(cd2) / jnp.sqrt(rsum * rsum + 1e-5)
+            compat_dt = compat[None, :] & (d2r <= allowed[None, :])
+        else:
+            compat_dt = jnp.broadcast_to(compat[None, :], (d, t))
         cc = jnp.maximum(conf, cfg.positional_min_confidence)
-        m = iou * cc[:, None]
-        p_valid = compat[None, :] & (inter > 0) & (m >= thr)  # [D,T]
+        if cfg.positional_kind == "iou":
+            aw = box[:, 3] * box[:, 4]
+            tw = pred[:, 3] * pred[:, 4]
+            ix = (
+                jnp.minimum(box[:, 0:1] + aw[:, None] * 0.5,
+                            (pred[:, 0] + tw * 0.5)[None, :])
+                - jnp.maximum(box[:, 0:1] - aw[:, None] * 0.5,
+                              (pred[:, 0] - tw * 0.5)[None, :])
+            )
+            iy = (
+                jnp.minimum(box[:, 1:2] + box[:, 4:5] * 0.5,
+                            (pred[:, 1] + pred[:, 4] * 0.5)[None, :])
+                - jnp.maximum(box[:, 1:2] - box[:, 4:5] * 0.5,
+                              (pred[:, 1] - pred[:, 4] * 0.5)[None, :])
+            )
+            inter = jnp.where((ix > 0) & (iy > 0), ix * iy, 0.0)  # [D,T]
+            union = ((aw * box[:, 4])[:, None] + (tw * pred[:, 4])[None, :]
+                     - inter)
+            iou = inter / jnp.where(inter > 0, union, 1.0)
+            m = iou * cc[:, None]
+            p_valid = compat_dt & (inter > 0) & (m >= thr)  # [D,T]
+        else:
+            # Mahalanobis vs the stored KF state (`sort/metric.rs:57-71`):
+            # S is diagonal (cpp + project noise), cost = chi2-gated inverted
+            mp_t = o_mp[...]   # [T,5]
+            cpp_t = o_cpp[...]
+            p4 = mp_t[:, 4]
+            d2 = jnp.zeros((d, t), jnp.float32)
+            for kk in range(5):
+                rs = 1e-1 if kk == 3 else None
+                rk = (jnp.full_like(p4, 1e-1) if rs else pw * p4)  # [T]
+                # floor: empty track rows have cpp=0, h=0 -> S would be 0
+                S = jnp.maximum(cpp_t[:, kk] + rk * rk, 1e-30)
+                nu = box[:, kk:kk + 1] - mp_t[:, kk][None, :]
+                d2 = d2 + nu * nu / S[None, :]
+            cost = jnp.where(d2 > 11.070, 0.0, 100.0 - d2)  # CHI2INV95[4]
+            m = cost / cc[:, None]
+            tf = cd2 > rsum * rsum  # too_far (`bbox.rs:452-462`)
+            p_valid = compat_dt & ~tf
         P = jnp.where(p_valid, m, 0.0)
 
         # ---- candidate feature gates (`visual_sort/metric.rs:227-249`) --
@@ -211,7 +264,7 @@ def _kernel(cfg: VisualConfig, c_frames: int, k: int, *refs):
                 ok = sim >= cfg.visual_threshold
                 w = 1.0 - sim
             fv = o_gv[i][...] > 0  # [T]
-            valid = ((use_i[:, None] > 0) & compat[None, :]
+            valid = ((use_i[:, None] > 0) & compat_dt
                      & track_gate[None, :] & fv[None, :] & ok)
             w_ks.append(w)
             valid_ks.append(valid)
@@ -311,7 +364,9 @@ def _kernel(cfg: VisualConfig, c_frames: int, k: int, *refs):
         n_cpv = p_cpv + p_cvv
         n_cvv = p_cvv + qv
         r = std2(1.0, 1e-1, n_mp[:, 4])
-        S = n_cpp + r
+        # S > 0 for any nonzero-height box; the floor only defuses division
+        # on degenerate rows (belt to the sanitized-box suspenders above)
+        S = jnp.maximum(n_cpp + r, 1e-30)
         nu = box - n_mp
         gp = n_cpp / S
         gvn = n_cpv / S
@@ -395,7 +450,6 @@ def _kernel(cfg: VisualConfig, c_frames: int, k: int, *refs):
 
         # feature rows of invalid/padded detections may carry junk; zero
         # them so the one-hot matmuls can't smear NaN (see ops/merge.py)
-        valid_f = (valid_row > 0).astype(jnp.float32)
         feat_z = feat * valid_f[:, None]
         for i in range(k):
             wl = new_lane[i].astype(jnp.float32)           # [D]
@@ -544,10 +598,10 @@ def tuple_to_state(tup, template: VisualState) -> VisualState:
 def compiled_pallas_visual_scan(cfg: VisualConfig, chunk: int,
                                 interpret: bool = False):
     """Scan-of-chunks pipeline matching `compiled_visual_scan` semantics
-    (aligned-IoU positional metric, history 1, no constraints; own-area
-    shares, if gated on, must arrive precomputed in the stream)."""
-    assert cfg.positional_kind == "iou" and not cfg.oriented
-    assert not cfg.constraints
+    (aligned-IoU or Mahalanobis positional metric, spatio-temporal
+    constraints, history 1; own-area shares, if gated on, must arrive
+    precomputed in the stream)."""
+    assert not cfg.oriented, "rotated boxes use the XLA engine"
     gates_on = cfg.own_area_use > 0.0 or cfg.own_area_collect > 0.0
     assert not (gates_on and cfg.own_area_backend == "device"), (
         "fused kernel takes precomputed own-area shares (host backend)")

@@ -46,11 +46,24 @@ CONFIGS = [
         visual_minimal_quality_use=0.5, visual_minimal_quality_collect=0.4,
         max_idle_epochs=5,
     ),
+    # Mahalanobis positional fallback (the flagship DeepSORT-like config)
+    VisualConfig(
+        positional_kind="maha", oriented=False, assignment="auction",
+        visual_kind="euclidean", visual_threshold=5.0,
+        visual_minimal_track_length=2, max_idle_epochs=5,
+    ),
+    # spatio-temporal constraints active in both stages
+    VisualConfig(
+        positional_kind="iou", oriented=False, assignment="auction",
+        visual_kind="euclidean", visual_threshold=5.0,
+        visual_minimal_track_length=2, max_idle_epochs=5,
+        constraints=((1, 1.0), (5, 3.0)),
+    ),
 ]
 
 
 @pytest.mark.parametrize("seed", [0, 1])
-@pytest.mark.parametrize("cfg_ix", [0, 1])
+@pytest.mark.parametrize("cfg_ix", [0, 1, 2, 3])
 def test_pallas_visual_scan_matches_xla(seed, cfg_ix):
     cfg = CONFIGS[cfg_ix]
     steps, d, t, k, f = 8, 8, 32, 3, 16
@@ -182,3 +195,52 @@ def test_pallas_visual_overflow_parity(recycle):
         rtol=1e-5, atol=1e-5)
     np.testing.assert_array_equal(
         np.asarray(ids), np.asarray(outs_a.track_id))
+
+
+@pytest.mark.parametrize("recycle", [False, True])
+def test_pallas_visual_zero_padded_rows(recycle):
+    """Regression: padded detection rows carry ALL-ZERO boxes in the real
+    eval pipeline; a zero height made the in-kernel KF update divide 0/0 and
+    the NaN poisoned every slot through the one-hot scatter matmuls."""
+    cfg = VisualConfig(
+        positional_kind="iou", oriented=False, assignment="auction",
+        visual_kind="cosine", visual_threshold=0.5,
+        visual_minimal_track_length=1, max_idle_epochs=10,
+        feature_precision="bf16", recycle_idle=recycle,
+    )
+    steps, d, t, k, f = 12, 16, 64, 3, 16
+    rng = np.random.default_rng(11)
+    xy = rng.uniform(0, 400, (d, 2)).astype(np.float32)
+    box = np.zeros((steps, d, 5), np.float32)
+    feat = np.zeros((steps, d, f), np.float32)
+    valid = np.zeros((steps, d), bool)
+    conf = np.zeros((steps, d), np.float32)
+    for s in range(steps):
+        xy += rng.uniform(-2, 2, xy.shape).astype(np.float32)
+        n = int(rng.integers(1, d))  # varying count; rest stays ALL-ZERO
+        box[s, :n, 0] = xy[:n, 0]
+        box[s, :n, 1] = xy[:n, 1]
+        box[s, :n, 3] = 0.9
+        box[s, :n, 4] = 30.0
+        conf[s, :n] = rng.uniform(0.4, 1.0, n)
+        valid[s, :n] = True
+        feat[s, :n] = rng.normal(size=(n, f)).astype(np.float32)
+    fvalid = valid.copy()
+    qual = np.ones((steps, d), np.float32)
+    oa = np.ones((steps, d), np.float32)
+    bj, fj = jnp.asarray(box), jnp.asarray(feat)
+    cj, vj = jnp.asarray(conf), jnp.asarray(valid)
+
+    sa = new_visual_state(t, 1, k, f)
+    sa, outs = visual_scan(cfg, sa, bj, cj, vj, fj, jnp.asarray(fvalid),
+                           jnp.asarray(qual), jnp.asarray(oa), jnp.int32(1))
+    run = compiled_pallas_visual_scan(cfg, chunk=4, interpret=True)
+    sb = new_visual_state(t, 1, k, f)
+    sb, (ids, *_r) = run(sb, bj, cj, vj, fj, jnp.asarray(fvalid),
+                         jnp.asarray(qual), jnp.asarray(oa), jnp.int32(1))
+    assert np.isfinite(np.asarray(sb.pred_box)).all()
+    np.testing.assert_array_equal(
+        np.where(valid, np.asarray(ids), 0),
+        np.where(valid, np.asarray(outs.track_id), 0))
+    np.testing.assert_array_equal(
+        np.asarray(sb.active), np.asarray(sa.active))
