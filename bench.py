@@ -60,11 +60,19 @@ BASELINES = {
     "visual_sort_100x128": 262.0,
     "visual_sort_100x512": 173.0,
     "visual_sort_100x2048": 94.0,
+    "nms_10": 632000.0,
     "nms_100": 6711.0,
     "nms_500": 250.0,
     "nms_1000": 72.0,
+    "nms_oriented_10": 461000.0,
     "nms_oriented_100": 7100.0,
+    "nms_oriented_300": 570.0,
     "nms_oriented_500": 218.0,
+    "nms_oriented_1000": 54.0,
+    "visual_sort_10x512": 2230.0,
+    "visual_sort_50x512": 444.0,
+    "visual_sort_100x256": 211.0,
+    "visual_sort_100x1024": 133.0,
 }
 
 PEAK_BF16 = 197e12  # v5e single-chip bf16 MXU peak, FLOP/s
@@ -219,16 +227,33 @@ def bench_sort_pallas(n_objects, base_len, chunk=32):
     return fps, flops
 
 
-def bench_batch_sort_scan(n_scenes, n_objects, base_len):
+def bench_batch_sort_scan(n_scenes, n_objects, base_len, scene_chunk=0):
     import jax
     import jax.numpy as jnp
 
-    from similari_tpu.parallel import batched_sort_scan, new_batched_state
+    from similari_tpu.parallel import (
+        batched_sort_step_chunked,
+        new_batched_state,
+    )
     from similari_tpu.trackers.sort_step import SortConfig
 
     cfg = SortConfig(method="iou", assignment="auction", max_idle_epochs=5,
                      oriented=False)
-    scan = jax.jit(batched_sort_scan(cfg))
+    # scene_chunk > 0 runs the scene axis in lax.map chunks — measured
+    # NEGATIVE at bench scales (the per-chunk state slice/update copies cost
+    # more than the [S, D, T] temporaries they bound, ARCHITECTURE §4c)
+    vstep = batched_sort_step_chunked(cfg, scene_chunk or n_scenes)
+
+    def scan_body(states, det_box, det_conf, det_valid, epochs0):
+        def body(st, inp):
+            box, conf, valid, i = inp
+            st, out = vstep(st, box, conf, valid, epochs0 + i)
+            return st, (out.track_id, out.overflow)
+
+        idx = jnp.arange(det_box.shape[0], dtype=jnp.int32)
+        return jax.lax.scan(body, states, (det_box, det_conf, det_valid, idx))
+
+    scan = jax.jit(scan_body)
     flat = box_stream(base_len, n_scenes * n_objects)
     stream = jnp.asarray(flat.reshape(base_len, n_scenes, n_objects, 5))
     conf = jnp.ones((base_len, n_scenes, n_objects), jnp.float32)
@@ -296,9 +321,12 @@ def bench_visual_scan(n_objects, feat_dim, base_len, gallery=3):
     return fps, flops
 
 
-def bench_visual_pallas(n_objects, feat_dim, base_len, gallery=3, chunk=32):
+def bench_visual_pallas(n_objects, feat_dim, base_len, gallery=3, chunk=32,
+                        positional="iou"):
     """The fused VisualSORT-on-chip kernel (ops/pallas_visual.py), same
-    workload as bench_visual_scan for a direct XLA-vs-Pallas comparison."""
+    workload as bench_visual_scan for a direct XLA-vs-Pallas comparison.
+    positional="maha" exercises the round-3 kernel extension (KF state in
+    VMEM drives the chi2-gated distance)."""
     import jax
     import jax.numpy as jnp
 
@@ -307,7 +335,7 @@ def bench_visual_pallas(n_objects, feat_dim, base_len, gallery=3, chunk=32):
     from similari_tpu.trackers.visual_step import VisualConfig
 
     cfg = VisualConfig(
-        positional_kind="iou", visual_kind="euclidean",
+        positional_kind=positional, visual_kind="euclidean",
         visual_threshold=100.0, visual_minimal_track_length=3,
         max_idle_epochs=5, assignment="auction", oriented=False,
         feature_precision="bf16",
@@ -338,7 +366,7 @@ def bench_visual_pallas(n_objects, feat_dim, base_len, gallery=3, chunk=32):
 
 
 def bench_batch_visual_scan(n_scenes, n_objects, feat_dim, base_len,
-                            gallery=3):
+                            gallery=3, scene_chunk=0):
     """North-star config: batch VisualSORT, scene-frames/sec/chip.
 
     Constant per-scene features (see bench_visual_scan) bound HBM and h2d:
@@ -347,7 +375,7 @@ def bench_batch_visual_scan(n_scenes, n_objects, feat_dim, base_len,
     import jax.numpy as jnp
 
     from similari_tpu.parallel import (
-        batched_visual_step,
+        batched_visual_step_chunked,
         new_batched_visual_state,
     )
     from similari_tpu.trackers.visual_step import VisualConfig
@@ -358,7 +386,7 @@ def bench_batch_visual_scan(n_scenes, n_objects, feat_dim, base_len,
         max_idle_epochs=5, assignment="auction", oriented=False,
         feature_precision="bf16",
     )
-    vstep = batched_visual_step(cfg)
+    vstep = batched_visual_step_chunked(cfg, scene_chunk or n_scenes)
     rng = np.random.default_rng(0)
     flat = box_stream(base_len, n_scenes * n_objects)
     boxes = jnp.asarray(flat.reshape(base_len, n_scenes, n_objects, 5))
@@ -558,16 +586,24 @@ def main():
         if r is not None:
             fps, flops = r
             record("visual_sort_100x512_pallas", fps, flops)
+    if not fast and not over_budget("visual_sort_100x512_pallas_maha"):
+        r = guarded("visual_sort_100x512_pallas_maha", bench_visual_pallas,
+                    100, 512, 256, positional="maha")
+        if r is not None:
+            fps, flops = r
+            record("visual_sort_100x512_pallas_maha", fps, flops)
 
-    # ---- single-scene VisualSORT dims --------------------------------------
-    visual_dims = [(128, 1024), (512, 1024), (2048, 512)]
+    # ---- single-scene VisualSORT objects x dims matrix ---------------------
+    visual_cfgs = [(100, 128, 1024), (100, 256, 1024), (100, 512, 1024),
+                   (100, 1024, 512), (100, 2048, 512),
+                   (10, 512, 2048), (50, 512, 1024)]
     if fast:
-        visual_dims = []
-    for dim, base_len in visual_dims:
-        name = f"visual_sort_100x{dim}"
+        visual_cfgs = []
+    for nobj, dim, base_len in visual_cfgs:
+        name = f"visual_sort_{nobj}x{dim}"
         if over_budget(name):
             continue
-        r = guarded(name, bench_visual_scan, 100, dim, base_len)
+        r = guarded(name, bench_visual_scan, nobj, dim, base_len)
         if r is None:
             continue
         fps, flops = r
@@ -575,11 +611,15 @@ def main():
 
     # ---- NMS ----------------------------------------------------------------
     nms_configs = [
+        ("nms_10", 10, False, 16384),
         ("nms_100", 100, False, 8192),
         ("nms_500", 500, False, 2048),
         ("nms_1000", 1000, False, 1024),
+        ("nms_oriented_10", 10, True, 8192),
         ("nms_oriented_100", 100, True, 4096),
+        ("nms_oriented_300", 300, True, 1024),
         ("nms_oriented_500", 500, True, 512),
+        ("nms_oriented_1000", 1000, True, 256),
     ]
     if fast:
         nms_configs = []

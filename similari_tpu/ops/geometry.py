@@ -344,9 +344,53 @@ def universal_iou(a: jax.Array, b: jax.Array, oriented: bool = True):
     return iou, valid
 
 
-def universal_iou_matrix(a: jax.Array, b: jax.Array, oriented: bool = True):
-    """Pairwise IoU: a[D,5] x b[T,5] -> (iou[D,T], valid[D,T])."""
+def universal_iou_matrix(a: jax.Array, b: jax.Array, oriented: bool = True,
+                         neighbors: int = 0):
+    """Pairwise IoU: a[D,5] x b[T,5] -> (iou[D,T], valid[D,T]).
+
+    neighbors > 0 (static) routes the oriented case through the radius-pruned
+    top-k kernel below — the reference's own `too_far` prune
+    (`bbox.rs:452-462`, applied per pair in its scalar loop) recast for the
+    TPU: cheap distances for all pairs, the ~700-flop clip only for each
+    row's k nearest in-radius partners.
+    """
+    if oriented and neighbors > 0 and neighbors < b.shape[0]:
+        return _universal_iou_matrix_topk(a, b, neighbors)
     return universal_iou(a[:, None, :], b[None, :, :], oriented)
+
+
+def rotated_intersection_topk(a: jax.Array, b: jax.Array, k: int):
+    """Radius-pruned rotated intersection matrix: a[D,5] x b[T,5] -> [D,T].
+
+    Clips only each row's k nearest in-radius partners; pairs beyond that are
+    0.  Exact whenever no row has more than k not-`too_far` partners —
+    physically k=64 means 64 boxes overlapping one box's enclosing circle,
+    far beyond any tracking scene.  All indexing is one-hot contractions
+    (MXU), no gathers (ARCHITECTURE.md §4c).
+    """
+    t = b.shape[0]
+    neg_big = jnp.float32(-3e38)
+    cd2 = center_distance2(a[:, None, :], b[None, :, :])  # [D,T]
+    rd = box_radius(a)[:, None] + box_radius(b)[None, :]
+    cand = cd2 <= rd * rd  # ~too_far
+    score, idx = jax.lax.top_k(jnp.where(cand, -cd2, neg_big), k)  # [D,K]
+    nv = score > neg_big * 0.5  # [D,K] real candidate
+    hot = ((idx[:, :, None] == jnp.arange(t, dtype=idx.dtype))
+           & nv[:, :, None]).astype(a.dtype)  # [D,K,T]
+    b_k = jnp.einsum("dkt,tc->dkc", hot, b,
+                     preferred_element_type=jnp.float32)  # [D,K,5]
+    inter_k = rotated_intersection(a[:, None, :], b_k)  # [D,K]
+    return jnp.einsum("dkt,dk->dt", hot, inter_k,
+                      preferred_element_type=jnp.float32)  # [D,T]
+
+
+def _universal_iou_matrix_topk(a: jax.Array, b: jax.Array, k: int):
+    """Radius-pruned rotated IoU (see rotated_intersection_topk)."""
+    inter = rotated_intersection_topk(a, b, k)
+    union = box_area(a)[:, None] + box_area(b)[None, :] - inter
+    valid = inter > 0.0
+    iou = jnp.where(valid, inter / jnp.where(valid, union, 1.0), 0.0)
+    return iou, valid
 
 
 def aligned_intersection_ltwh(a: jax.Array, b: jax.Array) -> jax.Array:

@@ -17,9 +17,9 @@ import jax.numpy as jnp
 from . import geometry as geo
 
 
-@partial(jax.jit, static_argnames=("oriented",))
+@partial(jax.jit, static_argnames=("oriented", "neighbors"))
 def nms_kernel(boxes: jax.Array, ranks: jax.Array, valid: jax.Array,
-               nms_threshold, oriented: bool = True):
+               nms_threshold, oriented: bool = True, neighbors: int = -1):
     """boxes[N,5] already rank-sorted descending; returns keep mask [N].
 
     suppress[i, j] (i before j in rank order): intersection(i, j)/area(j)
@@ -28,13 +28,22 @@ def nms_kernel(boxes: jax.Array, ranks: jax.Array, valid: jax.Array,
     `oriented` is a STATIC flag like SortConfig.oriented (never a per-pair
     angle test — the reference's bug #84 class): False selects the exact
     ~10-op axis-aligned intersection instead of the ~700-op general clip.
+
+    `neighbors`: radius-pruned top-k clip for the oriented path (the
+    reference's per-pair `too_far` prune, `nms.rs:56-58` via `bbox.rs:476-485`,
+    recast as one top-k per row).  Measured NEGATIVE on v5e at bench scales
+    (the [N,K,N] one-hot select outweighs the clip saved — ARCHITECTURE.md
+    §4d), so auto (-1) currently resolves to dense; 0 = dense, >0 forces.
     """
     n = boxes.shape[0]
-    inter = (
-        geo.rotated_intersection(boxes[:, None, :], boxes[None, :, :])
-        if oriented
-        else geo.aligned_intersection(boxes[:, None, :], boxes[None, :, :])
-    )
+    if neighbors < 0:
+        neighbors = 0
+    if oriented and 0 < neighbors < n:
+        inter = geo.rotated_intersection_topk(boxes, boxes, neighbors)
+    elif oriented:
+        inter = geo.rotated_intersection(boxes[:, None, :], boxes[None, :, :])
+    else:
+        inter = geo.aligned_intersection(boxes[:, None, :], boxes[None, :, :])
     metric = inter / geo.box_area(boxes)[None, :]
     order = jnp.arange(n)
     earlier = order[:, None] < order[None, :]

@@ -100,6 +100,47 @@ def batched_sort_step(cfg: SortConfig):
     return jax.vmap(partial(sort_step, cfg))
 
 
+def _chunk_scenes(vstep, chunk: int):
+    """Wrap a vmapped step to run the scene axis in sequential chunks.
+
+    Past the saturation knee a single [S]-wide vmap makes XLA materialize
+    [S, D, T] temporaries in HBM and throughput *declines* with S
+    (ARCHITECTURE.md §4c); chunking bounds the working set to the knee size
+    so per-scene cost stays at the knee rate.  `chunk` must divide S.
+    """
+
+    def step(states, *args):
+        s = jax.tree.leaves(states)[0].shape[0]
+        if s <= chunk:
+            return vstep(states, *args)
+        assert s % chunk == 0, "scene count must be a multiple of the chunk"
+        nb = s // chunk
+
+        def resh(a):
+            return a.reshape((nb, chunk) + a.shape[1:])
+
+        states_r = jax.tree.map(resh, states)
+        args_r = jax.tree.map(resh, args)
+
+        def one(packed):
+            st, aa = packed
+            return vstep(st, *aa)
+
+        states_o, outs_o = jax.lax.map(one, (states_r, args_r))
+
+        def flat(a):
+            return a.reshape((s,) + a.shape[2:])
+
+        return jax.tree.map(flat, states_o), jax.tree.map(flat, outs_o)
+
+    return step
+
+
+def batched_sort_step_chunked(cfg: SortConfig, chunk: int):
+    """Scene-chunked batched step (see _chunk_scenes)."""
+    return _chunk_scenes(batched_sort_step(cfg), chunk)
+
+
 def new_batched_state(n_scenes: int, capacity: int, history: int) -> SortState:
     one = new_sort_state(capacity, history)
     return jax.tree.map(
@@ -167,6 +208,11 @@ def shard_batched_state(state, mesh: Mesh):
 
 def batched_visual_step(cfg: VisualConfig):
     return jax.vmap(partial(visual_step, cfg))
+
+
+def batched_visual_step_chunked(cfg: VisualConfig, chunk: int):
+    """Scene-chunked batched VisualSORT step (see _chunk_scenes)."""
+    return _chunk_scenes(batched_visual_step(cfg), chunk)
 
 
 def new_batched_visual_state(

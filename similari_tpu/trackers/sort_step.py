@@ -65,6 +65,13 @@ class SortConfig:
     # (~700 ops/pair); the Sort API flips it automatically when a rotated
     # box is first seen in a scene.
     oriented: bool = True
+    # oriented-IoU neighbor prune (geometry._universal_iou_matrix_topk):
+    # clip only each detection's k nearest in-radius partners.  MEASURED
+    # NEGATIVE on v5e at 500x2000 (1365 vs 2351 FPS): the [D,K,T] one-hot
+    # select/scatter moves more HBM than the ~0.26 ms dense clip it avoids,
+    # so the default stays 0 (dense).  Kept for the record + small-K
+    # experiments; see ARCHITECTURE.md §4d.
+    oriented_neighbors: int = 0
     # in-step waste (`epoch_db.rs:51-65` semantics): retire tracks idle past
     # max_idle_epochs at the top of every step so slots are recycled and the
     # static capacity bounds *live* tracks, not cumulative tracks ever
@@ -117,8 +124,13 @@ def distance_weights(
 
     conf = jnp.maximum(det_conf, cfg.min_confidence)  # [D]
     if cfg.method == "iou":
+        nbrs = (
+            cfg.oriented_neighbors
+            if cfg.oriented and state.capacity >= 4 * cfg.oriented_neighbors
+            else 0
+        )
         iou, valid = geo.universal_iou_matrix(
-            det_box, state.pred_box, cfg.oriented
+            det_box, state.pred_box, cfg.oriented, neighbors=nbrs
         )
         m = iou * conf[:, None]
         valid = valid & (m >= cfg.iou_threshold)

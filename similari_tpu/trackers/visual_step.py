@@ -79,6 +79,9 @@ class VisualConfig:
     feature_precision: str = "f32"
     # static oriented-box flag (see SortConfig.oriented)
     oriented: bool = True
+    # oriented-IoU neighbor prune (see SortConfig.oriented_neighbors —
+    # measured negative at bench scales, default off)
+    oriented_neighbors: int = 0
     # in-step waste (see SortConfig.recycle_idle): recycle idle-beyond-max
     # slots so capacity bounds live tracks in long scan pipelines
     recycle_idle: bool = False
@@ -124,8 +127,14 @@ def positional_weights(cfg, state, det_box, det_conf, compat):
     """[D,T] positional metric + validity (`visual_sort/metric.rs:156-198`)."""
     conf = jnp.maximum(det_conf, cfg.positional_min_confidence)
     if cfg.positional_kind == "iou":
+        nbrs = (
+            cfg.oriented_neighbors
+            if cfg.oriented
+            and state.active.shape[0] >= 4 * cfg.oriented_neighbors
+            else 0
+        )
         iou, valid = geo.universal_iou_matrix(
-            det_box, state.pred_box, cfg.oriented
+            det_box, state.pred_box, cfg.oriented, neighbors=nbrs
         )
         m = iou * conf[:, None]
         valid = valid & (m >= cfg.iou_threshold) & compat

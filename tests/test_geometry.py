@@ -195,3 +195,55 @@ def test_quad_area_matches_sh_clip_montecarlo():
     green = np.asarray(G.quad_intersection_area(va, vb))
     sh = np.asarray(G._clip_area_one(va, vb))
     np.testing.assert_allclose(green, sh, rtol=2e-3, atol=1e-2)
+
+
+def test_topk_pruned_oriented_iou_matches_dense():
+    """Radius-pruned top-k rotated IoU == dense kernel whenever each row has
+    fewer in-radius partners than k (the tracking regime)."""
+    import jax.numpy as jnp
+    from similari_tpu.ops import geometry as geo
+
+    rng = np.random.default_rng(17)
+    d, t, k = 48, 96, 16
+    def boxes(n, spread):
+        b = np.zeros((n, 5), np.float32)
+        b[:, 0] = rng.uniform(0, spread, n)
+        b[:, 1] = rng.uniform(0, spread, n)
+        b[:, 2] = rng.uniform(0, 1.4, n)
+        b[:, 3] = rng.uniform(0.4, 1.6, n)
+        b[:, 4] = rng.uniform(15, 40, n)
+        return b
+    a = jnp.asarray(boxes(d, 900.0))
+    b = jnp.asarray(boxes(t, 900.0))
+    iou_d, val_d = geo.universal_iou_matrix(a, b, True, neighbors=0)
+    iou_p, val_p = geo.universal_iou_matrix(a, b, True, neighbors=k)
+    # sanity: the prune must actually be exact here (few partners per row)
+    cd2 = np.asarray(geo.center_distance2(a[:, None, :], b[None, :, :]))
+    rd = np.asarray(geo.box_radius(a))[:, None] + np.asarray(geo.box_radius(b))[None, :]
+    assert (cd2 <= rd * rd).sum(axis=1).max() <= k
+    np.testing.assert_array_equal(np.asarray(val_p), np.asarray(val_d))
+    np.testing.assert_allclose(np.asarray(iou_p), np.asarray(iou_d),
+                               rtol=1e-6, atol=1e-7)
+
+
+def test_nms_pruned_matches_dense_oriented():
+    import jax.numpy as jnp
+    from similari_tpu.ops.nms import nms_kernel
+
+    rng = np.random.default_rng(23)
+    n = 128
+    b = np.zeros((n, 5), np.float32)
+    b[:, 0] = rng.uniform(0, 400, n)
+    b[:, 1] = rng.uniform(0, 400, n)
+    b[:, 2] = rng.uniform(0, 0.8, n)
+    b[:, 3] = rng.uniform(0.5, 1.5, n)
+    b[:, 4] = rng.uniform(20, 50, n)
+    ranks = rng.uniform(0.5, 1.0, n).astype(np.float32)
+    order = np.argsort(-ranks)
+    bj = jnp.asarray(b[order])
+    rj = jnp.asarray(ranks[order])
+    valid = jnp.ones((n,), bool)
+    keep_dense = nms_kernel(bj, rj, valid, jnp.float32(0.7), True, 0)
+    keep_prune = nms_kernel(bj, rj, valid, jnp.float32(0.7), True, 32)
+    np.testing.assert_array_equal(np.asarray(keep_prune),
+                                  np.asarray(keep_dense))

@@ -147,3 +147,40 @@ def test_pod_mesh_2d():
     assert int(total_ovf) == 0
     ids = np.asarray(ids)
     np.testing.assert_array_equal(ids[1], ids[0])
+
+
+def test_chunked_batched_step_matches_unchunked():
+    """Scene-chunked vmap (lax.map over chunks) must be output-identical to
+    the full-width vmap — chunking only bounds the step's temporaries."""
+    from similari_tpu.parallel import (
+        batched_sort_step,
+        batched_sort_step_chunked,
+        new_batched_state,
+    )
+
+    cfg = SortConfig(method="iou", assignment="auction", max_idle_epochs=5,
+                     oriented=False)
+    full = jax.jit(batched_sort_step(cfg))
+    chunked = jax.jit(batched_sort_step_chunked(cfg, 4))
+    rng = np.random.default_rng(9)
+    s, d, t = 16, 6, 16
+    box = np.zeros((s, d, 5), np.float32)
+    xy = rng.uniform(0, 500, size=(s, d, 2))
+    box[..., 0] = xy[..., 0]
+    box[..., 1] = xy[..., 1]
+    box[..., 3] = 0.5
+    box[..., 4] = 20.0
+    conf = jnp.ones((s, d), jnp.float32)
+    valid = jnp.ones((s, d), bool)
+    epochs = jnp.ones((s,), jnp.int32)
+
+    st_a, out_a = full(new_batched_state(s, t, 1), jnp.asarray(box), conf,
+                       valid, epochs)
+    st_b, out_b = chunked(new_batched_state(s, t, 1), jnp.asarray(box), conf,
+                          valid, epochs)
+    np.testing.assert_array_equal(np.asarray(out_b.track_id),
+                                  np.asarray(out_a.track_id))
+    np.testing.assert_allclose(np.asarray(st_b.pred_box),
+                               np.asarray(st_a.pred_box), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(st_b.active),
+                                  np.asarray(st_a.active))
