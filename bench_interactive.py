@@ -31,6 +31,8 @@ REFERENCE_MS = {10: 0.149, 100: 1.660, 200: 4.895, 300: 8.991, 500: 17.432,
                 1000: 53.098}
 ABEWLEY_MS = {10: 1.588, 100: 11.976, 200: 25.160, 300: 40.922, 500: 74.254,
               1000: 162.037}
+# generic feature engine (256-d, gallery 3), benchmarks.md:82-86
+FEATURE_REF_MS = {10: 0.101465, 100: 4.020673, 500: 61.716729}
 
 
 def log(*a):
@@ -93,10 +95,45 @@ def main():
                f"abewley {ab:.3f} ms [x{ab / ms:.2f}]" if ref else "")
         log(f"{n:5d} objects: {ms:8.3f} ms/predict ({1e3 / ms:8.1f} FPS){cmp}")
 
+    # ---- generic feature engine (FeatureTracker, 256-d, gallery 3) -------
+    # same workload as /root/reference/benches/feature_tracker.rs:95-170
+    from similari_tpu.trackers.feature import FeatureTracker
+
+    for n in (10, 100, 500):
+        rng = np.random.default_rng(2)
+        base = np.zeros((n, 256), np.float32)
+        base[:, 0] = 1000.0 * np.arange(n)
+        tracker = FeatureTracker(256, gallery=3, max_distance=100.0,
+                                 min_votes=1)
+
+        def epoch():
+            nonlocal base
+            base = base + rng.uniform(-0.1, 0.1, base.shape).astype(np.float32)
+            return base
+
+        for _ in range(5):
+            tracker.predict(epoch())
+        times = []
+        for _ in range(args.reps):
+            feats = epoch()
+            t0 = time.perf_counter()
+            tracker.predict(feats)
+            times.append(time.perf_counter() - t0)
+        ms = statistics.median(times) * 1e3
+        rows[f"feature_{n}_ms"] = round(ms, 3)
+        ref = FEATURE_REF_MS[n]
+        log(f"feat {n:4d} objects: {ms:8.3f} ms/predict "
+            f"({1e3 / ms:8.1f} FPS)  reference {ref:.3f} ms [x{ref/ms:.2f}]")
+
     vs_ref = {
         f"sort_{n}_x_reference": round(REFERENCE_MS[n] / rows[f"sort_{n}_ms"], 2)
         for n in args.objects if n in REFERENCE_MS
     }
+    vs_ref.update({
+        f"feature_{n}_x_reference": round(
+            FEATURE_REF_MS[n] / rows[f"feature_{n}_ms"], 2)
+        for n in (10, 100, 500)
+    })
     print(json.dumps({
         "metric": "interactive_sort_latency_ms",
         "platform": "cpu",

@@ -1,4 +1,5 @@
 from .constraints import SpatioTemporalConstraints  # noqa: F401
+from .feature import FeatureTracker  # noqa: F401
 from .sort import (  # noqa: F401
     PositionalMetricType,
     Sort,
