@@ -422,6 +422,32 @@ def bench_batch_visual_scan(n_scenes, n_objects, feat_dim, base_len,
     return scene_fps, flops
 
 
+def bench_nms_host(n_boxes, oriented, frames=4096):
+    """Host (native C++) NMS throughput — the correct engine below ~64
+    boxes, where device dispatch dwarfs the math (same engine split as the
+    interactive Sort path; see native/nms.cpp)."""
+    import time as _t
+
+    from similari_tpu import native
+
+    if not native.nms_available():
+        raise RuntimeError("native lib unavailable")
+    rng = np.random.default_rng(3)
+    b = np.zeros((frames, n_boxes, 5), np.float32)
+    spread = 60.0 * np.sqrt(n_boxes)
+    b[..., 0] = rng.uniform(0, spread, (frames, n_boxes))
+    b[..., 1] = rng.uniform(0, spread, (frames, n_boxes))
+    if oriented:
+        b[..., 2] = rng.uniform(0, 0.6, (frames, n_boxes))
+    b[..., 3] = 1.0
+    b[..., 4] = rng.uniform(20, 50, (frames, n_boxes))
+    native.nms_host_batch(b[:16], 0.8, oriented)  # warm
+    t0 = _t.perf_counter()
+    native.nms_host_batch(b, 0.8, oriented)
+    fps = frames / (_t.perf_counter() - t0)
+    return fps, nms_step_flops(n_boxes, oriented)
+
+
 def bench_nms(n_boxes, oriented, base_len):
     """Device NMS throughput (reference `benches/nms.rs` scales): frames/sec,
     measured as a scan over independent frames."""
@@ -611,11 +637,11 @@ def main():
 
     # ---- NMS ----------------------------------------------------------------
     nms_configs = [
-        ("nms_10", 10, False, 16384),
+        ("nms_10", 10, False, 16384),       # host engine (native C++)
         ("nms_100", 100, False, 8192),
         ("nms_500", 500, False, 2048),
         ("nms_1000", 1000, False, 1024),
-        ("nms_oriented_10", 10, True, 8192),
+        ("nms_oriented_10", 10, True, 8192),  # host engine
         ("nms_oriented_100", 100, True, 4096),
         ("nms_oriented_300", 300, True, 1024),
         ("nms_oriented_500", 500, True, 512),
@@ -626,7 +652,9 @@ def main():
     for name, n, oriented, base_len in nms_configs:
         if over_budget(name):
             continue
-        r = guarded(name, bench_nms, n, oriented, base_len)
+        fn = bench_nms_host if n <= 10 else bench_nms
+        args = (n, oriented) if n <= 10 else (n, oriented, base_len)
+        r = guarded(name, fn, *args)
         if r is None:
             continue
         fps, flops = r

@@ -21,6 +21,7 @@ _SRCS = [
     Path(__file__).parent / "lap.cpp",
     Path(__file__).parent / "motloader.cpp",
     Path(__file__).parent / "sortstep.cpp",
+    Path(__file__).parent / "nms.cpp",
 ]
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
@@ -98,6 +99,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         I, I, U8, F, I, I,  # outputs
     ]
     lib.sort_step_host.restype = ctypes.c_int
+    lib.nms_host.argtypes = [F, ctypes.c_int, ctypes.c_float, ctypes.c_int, U8]
+    lib.nms_host.restype = ctypes.c_int
+    lib.nms_host_batch.argtypes = [
+        F, ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_int, U8]
+    lib.nms_host_batch.restype = ctypes.c_int
     return lib
 
 
@@ -305,6 +311,52 @@ def sort_step_host(cfg, state, det_box, det_conf, epoch: int):
         raise RuntimeError(f"sort_step_host failed: {rc}")
     return (int(out_nid[0]), out_slot, out_id, out_new.astype(bool),
             out_pred, out_len)
+
+
+def nms_available() -> bool:
+    lib = _get_lib()
+    return lib is not None and hasattr(lib, "nms_host")
+
+
+def nms_host(boxes: np.ndarray, threshold: float, oriented: bool) -> np.ndarray:
+    """Greedy NMS on rank-desc-sorted boxes[n, 5]; returns keep mask [n].
+
+    Native scalar loop (nms.cpp); exact reference semantics.  Returns None
+    when the native library is unavailable.
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    b = np.ascontiguousarray(boxes, np.float32)
+    n = len(b)
+    keep = np.empty((n,), np.uint8)
+    rc = lib.nms_host(
+        b.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n,
+        float(threshold), int(bool(oriented)),
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc:
+        raise RuntimeError(f"nms_host failed: {rc}")
+    return keep.astype(bool)
+
+
+def nms_host_batch(boxes: np.ndarray, threshold: float,
+                   oriented: bool) -> np.ndarray:
+    """Batched host NMS: boxes[b, n, 5] rank-sorted desc -> keep [b, n]."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    w = np.ascontiguousarray(boxes, np.float32)
+    bb, n, _ = w.shape
+    keep = np.empty((bb, n), np.uint8)
+    rc = lib.nms_host_batch(
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), bb, n,
+        float(threshold), int(bool(oriented)),
+        keep.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    if rc:
+        raise RuntimeError(f"nms_host_batch failed: {rc}")
+    return keep.astype(bool)
 
 
 def _load_sequence_soa_numpy(path):

@@ -30,8 +30,20 @@ def nms(
     if not cands:
         return []
     cands.sort(key=lambda e: -e[0])
-
     n = len(cands)
+
+    # small frames: the native scalar loop (native/nms.cpp) runs a 10-box
+    # frame in ~2 us — device dispatch alone costs orders of magnitude more
+    # (ARCHITECTURE.md §4b reasoning; same engine split as Sort)
+    if n <= 64:
+        from .. import native
+
+        boxes = np.stack([bb.to_vec5() for _, bb in cands]).astype(np.float32)
+        oriented = bool(np.any(boxes[:, 2] != 0.0))
+        keep = native.nms_host(boxes, nms_threshold, oriented)
+        if keep is not None:
+            return [bb for (m, (_, bb)) in zip(keep, cands) if m]
+
     npad = 8
     while npad < n:
         npad *= 2

@@ -94,3 +94,52 @@ def test_own_areas_triple_overlap():
     # bb1 loses the right half (50) and bottom half (50) minus their common
     # 5x5 corner: own = 100 - 50 - 50 + 25 = 25
     assert own[0] == pytest.approx(25.0, abs=1e-4)
+
+
+def test_native_nms_matches_device_kernel():
+    """Host C++ NMS (native/nms.cpp) == device kernel, aligned + oriented."""
+    import jax.numpy as jnp
+
+    from similari_tpu import native
+    from similari_tpu.ops.nms import nms_kernel
+
+    if not native.nms_available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(4)
+    for oriented in (False, True):
+        for n in (5, 32, 100):
+            b = np.zeros((n, 5), np.float32)
+            b[:, 0] = rng.uniform(0, 200, n)
+            b[:, 1] = rng.uniform(0, 200, n)
+            b[:, 2] = rng.uniform(0, 0.9, n) if oriented else 0.0
+            b[:, 3] = rng.uniform(0.5, 1.5, n)
+            b[:, 4] = rng.uniform(15, 45, n)
+            ranks = rng.uniform(0.5, 1.0, n).astype(np.float32)
+            order = np.argsort(-ranks)
+            bs = b[order]
+            keep_host = native.nms_host(bs, 0.6, oriented)
+            keep_dev = np.asarray(nms_kernel(
+                jnp.asarray(bs), jnp.asarray(ranks[order]),
+                jnp.ones((n,), bool), jnp.float32(0.6), oriented))
+            np.testing.assert_array_equal(keep_host, keep_dev,
+                                          err_msg=f"oriented={oriented} n={n}")
+
+
+def test_native_nms_batch():
+    from similari_tpu import native
+
+    if not native.nms_available():
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(9)
+    b = np.zeros((4, 10, 5), np.float32)
+    b[..., 0] = rng.uniform(0, 60, (4, 10))
+    b[..., 1] = rng.uniform(0, 60, (4, 10))
+    b[..., 3] = 1.0
+    b[..., 4] = rng.uniform(15, 30, (4, 10))
+    keep = native.nms_host_batch(b, 0.5, False)
+    for i in range(4):
+        np.testing.assert_array_equal(keep[i], native.nms_host(b[i], 0.5, False))
