@@ -181,6 +181,12 @@ def _kernel(cfg: SortConfig, c_frames: int,
         # crashes the compiler); all 2-D masks below broadcast the int/float
         # source first and compare after.
         epoch = epoch_ref[0, 0] + s
+        valid_f = (valid_row > 0).astype(jnp.float32)
+        # padded rows may carry zero boxes; a zero height makes the KF
+        # update divide 0/0 and NaN poisons every slot through the one-hot
+        # scatter matmuls (0 * NaN = NaN) — substitute a unit box
+        unit = (lane5 >= 3).astype(jnp.float32)  # (0,0,0,1,1)
+        box = box * valid_f[:, None] + (1.0 - valid_f)[:, None] * unit[None, :]
 
         active = o_active[...] > 0           # [T]
         pred = o_pred[...]                   # [T,5]
@@ -188,6 +194,9 @@ def _kernel(cfg: SortConfig, c_frames: int,
 
         # ---- weights: aligned IoU x conf with compat gating -------------
         compat = active & ((epoch - last) <= cfg.max_idle_epochs)
+        if cfg.recycle_idle:
+            # in-step waste (`epoch_db.rs:51-65`): capacity bounds live tracks
+            active = compat
         aw = box[:, 3] * box[:, 4]
         tw = pred[:, 3] * pred[:, 4]
         ix = (
@@ -236,13 +245,23 @@ def _kernel(cfg: SortConfig, c_frames: int,
         new_slot = jnp.min(jnp.where(hit, tcol, t - 1), axis=1)
         slot = jnp.where(matched, tgt, new_slot)
         n_new = jnp.sum(is_new.astype(jnp.int32))
+        n_free = jnp.sum(free.astype(jnp.int32))
+        # overflow: drop the whole frame's writes like the XLA step
+        # (next_id still advances); prevents excess one-hot rows summing
+        # into slot t-1 (see pallas_visual)
+        overflow = n_new > n_free
+        safe_f = 1.0 - overflow.astype(jnp.float32)
 
         # ---- one-hot scatter/gather matrices ---------------------------
-        oh = ((tcol == slot[:, None]) & (valid_row[:, None] > 0)).astype(jnp.float32)
+        oh_b = (tcol == slot[:, None]) & (valid_row[:, None] > 0)
+        oh = oh_b.astype(jnp.float32)
+        oh_w = oh * safe_f  # write side (zeroed on overflow)
         # gather prev state rows: [D,T] @ [T,5]
         g = lambda a: jnp.dot(oh, a, preferred_element_type=jnp.float32)
         gv = lambda a: jnp.dot(oh, a[:, None],
                                preferred_element_type=jnp.float32)[:, 0]
+        # integer by-slot read (ids/lengths exact beyond 2^24)
+        gi = lambda a: jnp.sum(jnp.where(oh_b, a[None, :], 0), axis=1)
 
         h = box[:, 4]
         init_cpp = std2(2.0, 1e-2, h)
@@ -264,7 +283,7 @@ def _kernel(cfg: SortConfig, c_frames: int,
         n_cvv = p_cvv + qv
         # update
         r = std2(1.0, 1e-1, n_mp[:, 4])
-        S = n_cpp + r
+        S = jnp.maximum(n_cpp + r, 1e-30)  # degenerate-row guard
         nu = box - n_mp
         gp = n_cpp / S
         gvn = n_cpv / S
@@ -274,20 +293,20 @@ def _kernel(cfg: SortConfig, c_frames: int,
         u_cpv = n_cpv - n_cpp * gvn
         u_cvv = n_cvv - n_cpv * gvn
 
-        new_len = jnp.where(matched, gv(o_length[...].astype(jnp.float32)),
-                            0.0) + 1.0
+        new_len = jnp.where(matched, gi(o_length[...]), 0) + 1  # int32
         new_ids = jnp.where(
-            matched,
-            gv(o_tid[...].astype(jnp.float32)),
-            (o_nid[0, 0].astype(jnp.float32) + new_rank),
-        )
+            matched, gi(o_tid[...]),
+            o_nid[0, 0] + new_rank.astype(jnp.int32),
+        )  # int32
 
         # ---- scatter back: state' = (1-upd) * state + ohT @ value -------
-        upd_t = jnp.dot(oh.T, jnp.ones((d, 1), jnp.float32),
+        upd_t = jnp.dot(oh_w.T, jnp.ones((d, 1), jnp.float32),
                         preferred_element_type=jnp.float32)  # [T,1]
         upd_t = jnp.minimum(upd_t, 1.0)
-        sc = lambda a: jnp.dot(oh.T, a, preferred_element_type=jnp.float32)
+        sc = lambda a: jnp.dot(oh_w.T, a, preferred_element_type=jnp.float32)
         scv = lambda a: sc(a[:, None])[:, 0]
+        ohw_b = oh_w > 0.5
+        sci = lambda a: jnp.sum(jnp.where(ohw_b, a[:, None], 0), axis=0)
 
         o_mp[...] = (1 - upd_t) * o_mp[...] + sc(u_mp)
         o_mv[...] = (1 - upd_t) * o_mv[...] + sc(u_mv)
@@ -298,15 +317,15 @@ def _kernel(cfg: SortConfig, c_frames: int,
         o_obs[...] = (1 - upd_t) * o_obs[...] + sc(box)
         u1 = upd_t[:, 0]
         o_tconf[...] = (1 - u1) * o_tconf[...] + scv(conf)
-        o_active[...] = jnp.maximum(o_active[...], u1.astype(jnp.int32))
+        base_active = active.astype(jnp.int32) if cfg.recycle_idle \
+            else o_active[...]
+        o_active[...] = jnp.maximum(base_active, u1.astype(jnp.int32))
         o_last[...] = jnp.where(u1 > 0, epoch, o_last[...])
-        o_length[...] = jnp.where(
-            u1 > 0, scv(new_len).astype(jnp.int32), o_length[...])
-        o_tid[...] = jnp.where(
-            u1 > 0, scv(new_ids).astype(jnp.int32), o_tid[...])
+        o_length[...] = jnp.where(u1 > 0, sci(new_len), o_length[...])
+        o_tid[...] = jnp.where(u1 > 0, sci(new_ids), o_tid[...])
         o_nid[0, 0] = o_nid[0, 0] + n_new
 
-        out_ids[s] = new_ids.astype(jnp.int32)
+        out_ids[s] = new_ids
         out_slots[s] = slot.astype(jnp.int32)
         out_pred[s] = u_mp
         return ()
