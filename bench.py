@@ -217,8 +217,8 @@ def bench_sort_pallas(n_objects, base_len, chunk=32):
         state = new_sort_state(4 * n_objects, 1)
         t0 = time.perf_counter()
         for i in range(k):
-            state, (ids, _, _) = scan(state, stream, conf, valid,
-                                      jnp.int32(1 + i * base_len))
+            state, (ids, _, _, _ovf) = scan(state, stream, conf, valid,
+                                            jnp.int32(1 + i * base_len))
         np.asarray(ids[-1, 0])  # true sync
         return time.perf_counter() - t0
 

@@ -33,6 +33,8 @@ ABEWLEY_MS = {10: 1.588, 100: 11.976, 200: 25.160, 300: 40.922, 500: 74.254,
               1000: 162.037}
 # generic feature engine (256-d, gallery 3), benchmarks.md:82-86
 FEATURE_REF_MS = {10: 0.101465, 100: 4.020673, 500: 61.716729}
+# VisualSORT per-call (512-d, gallery<=5), benchmarks.md:93-109 (ns/iter)
+VISUAL_REF_MS = {10: 0.447903, 50: 2.249694, 100: 5.775469}
 
 
 def log(*a):
@@ -125,10 +127,63 @@ def main():
         log(f"feat {n:4d} objects: {ms:8.3f} ms/predict "
             f"({1e3 / ms:8.1f} FPS)  reference {ref:.3f} ms [x{ref/ms:.2f}]")
 
+    # ---- interactive VisualSORT (host engine, 512-d, gallery 3) ----------
+    # reference rows: benchmarks.md:93-109 (per-call cargo bench, 4-core CPU)
+    from similari_tpu import (
+        BoundingBox, PositionalMetricType as PMT, VisualSort,
+        VisualSortMetricType, VisualSortObservation, VisualSortObservationSet,
+        VisualSortOptions,
+    )
+
+    for n in (10, 50, 100):
+        rng = np.random.default_rng(3)
+        xy = rng.uniform(0, 600 * np.sqrt(n / 10), (n, 2)).astype(np.float32)
+        ident = rng.normal(size=(n, 512)).astype(np.float32)
+        opts = VisualSortOptions()
+        opts.visual_metric(VisualSortMetricType.euclidean(10.0))
+        opts.positional_metric(PMT.iou(0.3))
+        opts.visual_minimal_track_length(2)
+        opts.max_idle_epochs(5)
+        tracker = VisualSort(1, opts)
+
+        def vframe():
+            nonlocal xy
+            xy = xy + rng.uniform(-2, 2, xy.shape).astype(np.float32)
+            obs = VisualSortObservationSet()
+            for i in range(n):
+                f = ident[i] + rng.normal(scale=0.05, size=512).astype(np.float32)
+                obs.add(VisualSortObservation(
+                    feature=f, feature_quality=0.9,
+                    bounding_box=BoundingBox(
+                        float(xy[i, 0]), float(xy[i, 1]), 20.0, 40.0
+                    ).as_xyaah(),
+                    custom_object_id=i,
+                ))
+            return obs
+
+        for _ in range(5):
+            tracker.predict(vframe())
+        times = []
+        for _ in range(max(10, args.reps // 2)):
+            obs = vframe()
+            t0 = time.perf_counter()
+            tracker.predict(obs)
+            times.append(time.perf_counter() - t0)
+        ms = statistics.median(times) * 1e3
+        rows[f"visual_{n}_ms"] = round(ms, 3)
+        ref = VISUAL_REF_MS[n]
+        log(f"vis  {n:4d} objects: {ms:8.3f} ms/predict "
+            f"({1e3 / ms:8.1f} FPS)  reference {ref:.3f} ms [x{ref/ms:.2f}]")
+
     vs_ref = {
         f"sort_{n}_x_reference": round(REFERENCE_MS[n] / rows[f"sort_{n}_ms"], 2)
         for n in args.objects if n in REFERENCE_MS
     }
+    vs_ref.update({
+        f"visual_{n}_x_reference": round(
+            VISUAL_REF_MS[n] / rows[f"visual_{n}_ms"], 2)
+        for n in (10, 50, 100)
+    })
     vs_ref.update({
         f"feature_{n}_x_reference": round(
             FEATURE_REF_MS[n] / rows[f"feature_{n}_ms"], 2)

@@ -111,12 +111,18 @@ def run_sequence_device(
     max_idle_epochs: int = 5,
     capacity: int = 512,
     report_observed: bool = False,
+    engine: str = "xla",
 ) -> Tuple[Dict[int, List[Tuple[int, float, float, float, float]]], float]:
     """Whole-sequence device pipeline: one transfer in, one scan, one out.
 
     `detections` may also be a path to a MOT det csv, in which case the
     native C++ loader (`native.load_sequence_soa`, one pass over the file
     bytes) produces the padded SoA buffers directly.
+
+    engine="pallas" runs the fused SORT-on-chip kernel (`ops/pallas_sort.py`,
+    state VMEM-resident across a frame chunk — the fastest single-scene SORT
+    path since the round-3 hardening, ×1.1-1.2 over the XLA scan on v5e;
+    aligned IoU only); "xla" is the general default.  Both are id-exact.
 
     Returns (per-frame outputs, frames/sec of pure device time).
     """
@@ -155,8 +161,40 @@ def run_sequence_device(
         oriented=False,  # MOT data is axis-aligned LTWH
         recycle_idle=True,  # capacity bounds live tracks over long sequences
     )
-    scan = compiled_sort_scan(cfg)
     state = new_sort_state(capacity, 1)
+    if engine == "pallas":
+        import jax
+
+        from ..ops.pallas_sort import compiled_pallas_sort_scan
+
+        chunk = min(16, steps) if steps % 16 else 16
+        pad = (-steps) % chunk
+        if pad:
+            z = lambda a: np.concatenate(
+                [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+            box2, conf2, valid2 = z(box), z(conf), z(valid)
+        else:
+            box2, conf2, valid2 = box, conf, valid
+        scan = compiled_pallas_sort_scan(
+            cfg, chunk, interpret=jax.default_backend() == "cpu")
+        args = (jnp.asarray(box2), jnp.asarray(conf2), jnp.asarray(valid2),
+                jnp.int32(1))
+        compiled = scan.lower(state, *args).compile()
+        t0 = time.perf_counter()
+        state, (kids, _slots, kpred, kovf) = compiled(state, *args)
+        ids = np.asarray(kids)[:steps]
+        fps = steps / (time.perf_counter() - t0)
+        _check_overflow(np.asarray(kovf)[:steps], capacity)
+        pred = np.asarray(kpred)[:steps]
+        out: Dict[int, List] = {}
+        for s, f in enumerate(frames):
+            n = int(valid[s].sum())
+            src = box[s, :n] if report_observed else pred[s, :n]
+            ltwh = vec5_to_ltwh(src)
+            out[f] = [(int(ids[s, i]), *map(float, ltwh[i])) for i in range(n)]
+        return out, fps
+
+    scan = compiled_sort_scan(cfg)
     bj, cj, vj = jnp.asarray(box), jnp.asarray(conf), jnp.asarray(valid)
     # AOT-compile so the timed run (fresh state, correct outputs) excludes it
     compiled = scan.lower(state, bj, cj, vj, jnp.int32(1)).compile()

@@ -19,15 +19,16 @@ step.
 Numerical parity with `sort_step` is property-tested (same ids, same state)
 in interpret mode on CPU and compiled on TPU.
 
-Measured outcome (v5e, honest fetch-synced timing, 3 reps, 100 objects,
-aligned IoU): 27.1-27.4k FPS vs 35.3k for the gather-free XLA scan
-(×0.77).  The XLA SORT step is thin — its scatters, vmapped while_loops
-and gathers were engineered out (ARCHITECTURE.md §2/§2b/§4c, the last
-by porting this kernel's one-hot-everything design back into XLA) — so
-VMEM residency has nothing left to save here.  The kernel is kept as a
-tested alternative, a base for future in-kernel RDMA variants, and the
-template for `ops/pallas_visual.py`, where the same fusion DOES win
-(×1.3 — the VisualSORT step still pays gallery HBM round-trips).
+Measured outcome (v5e, honest fetch-synced timing, 100 objects, aligned
+IoU).  The round-2 kernel LOST to the gather-free XLA scan (27.2k vs
+35.3k FPS, ×0.77) and was kept as a tested alternative.  The round-3
+hardening flipped the result: replacing the float one-hot matmul reads
+of ids/lengths with integer masked reduces (`gi`/`sci`) and gating the
+write side with a boolean mask removed enough MXU round-trips that the
+kernel now measures **38.6-41.4k FPS vs 34.0-35.1k for the XLA scan
+(×1.10-1.22)** — the fused frame is the fastest single-scene SORT path,
+public via `run_sequence_device(engine="pallas")`.  `ops/pallas_visual.py`
+uses the same design with a larger win (×1.3, gallery HBM residency).
 Engineering notes (incl. the Mosaic bool-lane-broadcast pitfall and the
 VMEM-limit compiler abort) are in ARCHITECTURE.md §5.
 """
@@ -145,7 +146,7 @@ def _kernel(cfg: SortConfig, c_frames: int,
             # outputs
             o_mp, o_mv, o_cpp, o_cpv, o_cvv, o_pred, o_obs, o_tconf,
             o_active, o_last, o_length, o_tid, o_nid,
-            out_ids, out_slots, out_pred):
+            out_ids, out_slots, out_pred, out_ovf):
     d = box_ref.shape[1]
     t = pred_ref.shape[0]
     pw, vw = cfg.position_weight, cfg.velocity_weight
@@ -328,6 +329,7 @@ def _kernel(cfg: SortConfig, c_frames: int,
         out_ids[s] = new_ids
         out_slots[s] = slot.astype(jnp.int32)
         out_pred[s] = u_mp
+        out_ovf[s, 0] = overflow.astype(jnp.int32)
         return ()
 
     jax.lax.fori_loop(0, c_frames, lambda s, c: frame(s, c), ())
@@ -361,13 +363,14 @@ def pallas_sort_chunk(cfg: SortConfig, c_frames: int, d: int, t: int,
         jax.ShapeDtypeStruct((c_frames, d), jnp.int32),  # ids
         jax.ShapeDtypeStruct((c_frames, d), jnp.int32),  # slots
         jax.ShapeDtypeStruct((c_frames, d, 5), jnp.float32),  # pred boxes
+        jax.ShapeDtypeStruct((c_frames, 1), jnp.int32),  # overflow flag
     ]
     n_state = len(state_shapes)
     vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec(memory_space=pltpu.SMEM)
     in_specs = [vspec, vspec, vspec, sspec] + [vspec] * n_state
     in_specs[4 + n_state - 1] = sspec  # nid scalar lives in SMEM
-    out_specs = [vspec] * n_state + [vspec] * 3
+    out_specs = [vspec] * n_state + [vspec] * 3 + [sspec]
     out_specs[n_state - 1] = sspec
 
     # the auction keeps several [D, D+T] temporaries live; the default VMEM
@@ -438,16 +441,17 @@ def compiled_pallas_sort_scan(cfg: SortConfig, chunk: int, interpret: bool = Fal
             b, c, v = inp
             outs = call(st, b, c, v, jnp.reshape(e0, (1, 1)))
             st2 = tuple(outs[:13])
-            ids, slots, pred = outs[13], outs[14], outs[15]
-            return (st2, e0 + chunk), (ids, slots, pred)
+            ids, slots, pred, ovf = outs[13], outs[14], outs[15], outs[16]
+            return (st2, e0 + chunk), (ids, slots, pred, ovf)
 
-        (st2, _), (ids, slots, pred) = jax.lax.scan(
+        (st2, _), (ids, slots, pred, ovf) = jax.lax.scan(
             body, (state_to_tuple(state), epoch0),
             (boxes, confs, valids),
         )
         new_state = tuple_to_state(st2, state)
         return new_state, (
-            ids.reshape(s, d), slots.reshape(s, d), pred.reshape(s, d, 5)
+            ids.reshape(s, d), slots.reshape(s, d), pred.reshape(s, d, 5),
+            ovf.reshape(s) > 0,
         )
 
     return jax.jit(run, donate_argnums=(0,))

@@ -248,6 +248,7 @@ class _VisualSceneStore:
         self.has_custom = np.zeros((capacity,), bool)
         self.active_count = 0
         self.oriented = False  # sticky: flips when a rotated box is seen
+        self.host = False  # True while state leaves are np.ndarrays
 
     def grow(self, min_capacity: int):
         cap = self.state.capacity
@@ -255,7 +256,12 @@ class _VisualSceneStore:
         while new_cap < min_capacity:
             new_cap *= 2
         if new_cap != cap:
-            self.state = grow_visual_state(self.state, new_cap)
+            if self.host:
+                from .host_sort import host_grow
+
+                self.state = host_grow(self.state, new_cap)
+            else:
+                self.state = grow_visual_state(self.state, new_cap)
             self.custom_ids = np.concatenate(
                 [self.custom_ids, np.full((new_cap - cap,), -1, np.int64)]
             )
@@ -269,10 +275,11 @@ class _VisualSceneStore:
         if new_dim <= old:
             return
         pad = ((0, 0), (0, 0), (0, new_dim - old))
+        padder = np.pad if self.host else jnp.pad
         self.state = dataclasses.replace(
             st,
-            feats=jnp.pad(st.feats, pad),
-            hist_feat=jnp.pad(st.hist_feat, ((0, 0), (0, 0), (0, new_dim - old))),
+            feats=padder(st.feats, pad),
+            hist_feat=padder(st.hist_feat, ((0, 0), (0, 0), (0, new_dim - old))),
         )
 
 
@@ -284,7 +291,13 @@ class VisualSort:
         *,
         initial_capacity: int = 128,
         assignment_backend: str = "auto",
+        engine: str = "auto",
     ):
+        """engine: "host" = NumPy per-call fast path (interactive latency,
+        trackers/host_visual.py), "device" = jitted step, "auto" = host for
+        axis-aligned f32 configs, device otherwise."""
+        assert engine in ("auto", "host", "device")
+        self._engine = engine
         opts = opts or VisualSortOptions()
         self._opts = opts
         self._cfg = dataclasses.replace(
@@ -390,33 +403,77 @@ class VisualSort:
         store = self._get_store(scene_id)
         store.grow(store.active_count + d)
         store.oriented = store.oriented or bool((box[:d, 2] != 0).any())
-        store.state = dataclasses.replace(
-            store.state, next_id=jnp.int32(self._next_track_id)
+
+        use_host = self._engine == "host" or (
+            self._engine == "auto"
+            and not store.oriented
+            and self._cfg.feature_precision == "f32"
         )
+        if use_host:
+            from . import host_sort, host_visual
 
-        state, out = self._step_for(store.oriented)(
-            store.state,
-            jnp.asarray(box),
-            jnp.asarray(conf),
-            jnp.asarray(valid),
-            jnp.asarray(feat),
-            jnp.asarray(feat_valid),
-            jnp.asarray(quality),
-            jnp.asarray(oa),
-            jnp.int32(epoch),
-        )
-        store.state = state
+            if not store.host:
+                store.state = host_sort.state_to_host(store.state)
+                store.host = True
+            # own-area on the host engine: always the exact polygon oracle
+            if (
+                self._cfg.own_area_use + self._cfg.own_area_collect > 0.0
+            ) and not use_own_area:
+                oa[:d] = np.asarray(
+                    exclusively_owned_areas_normalized_shares(
+                        [o.bounding_box for o in observations]
+                    ),
+                    np.float32,
+                )
+            state = dataclasses.replace(
+                store.state, next_id=np.int32(self._next_track_id)
+            )
+            state, hout = host_visual.host_visual_step(
+                self._cfg, state, box[:d], conf[:d], feat[:d],
+                feat_valid[:d], quality[:d], oa[:d], epoch,
+            )
+            store.state = state
+            slot = hout["slot"]
+            track_id = hout["track_id"]
+            is_new = hout["is_new"]
+            pred_box = hout["pred_box"]
+            length = hout["length"]
+            vt = hout["voting_type"]
+            self._next_track_id = int(state.next_id)
+            store.active_count += int(is_new.sum())
+        else:
+            if store.host:
+                from . import host_sort
 
-        slot = np.asarray(out.slot)[:d]
-        track_id = np.asarray(out.track_id)[:d]
-        is_new = np.asarray(out.is_new)[:d]
-        pred_box = np.asarray(out.pred_box)[:d]
-        length = np.asarray(out.length)[:d]
-        vt = np.asarray(out.voting_type)[:d]
-        assert not bool(np.asarray(out.overflow)), "track store overflow"
+                store.state = host_sort.state_to_device(store.state)
+                store.host = False
+            store.state = dataclasses.replace(
+                store.state, next_id=jnp.int32(self._next_track_id)
+            )
 
-        self._next_track_id = int(np.asarray(state.next_id))
-        store.active_count += int(is_new.sum())
+            state, out = self._step_for(store.oriented)(
+                store.state,
+                jnp.asarray(box),
+                jnp.asarray(conf),
+                jnp.asarray(valid),
+                jnp.asarray(feat),
+                jnp.asarray(feat_valid),
+                jnp.asarray(quality),
+                jnp.asarray(oa),
+                jnp.int32(epoch),
+            )
+            store.state = state
+
+            slot = np.asarray(out.slot)[:d]
+            track_id = np.asarray(out.track_id)[:d]
+            is_new = np.asarray(out.is_new)[:d]
+            pred_box = np.asarray(out.pred_box)[:d]
+            length = np.asarray(out.length)[:d]
+            vt = np.asarray(out.voting_type)[:d]
+            assert not bool(np.asarray(out.overflow)), "track store overflow"
+
+            self._next_track_id = int(np.asarray(state.next_id))
+            store.active_count += int(is_new.sum())
 
         res: List[SortTrack] = []
         for i, o in enumerate(observations):
@@ -497,10 +554,13 @@ class VisualSort:
                     observed_features=feats,
                 )
             )
-        sl = jnp.asarray(slots)
-        store.state = dataclasses.replace(
-            store.state, active=store.state.active.at[sl].set(False)
-        )
+        if isinstance(store.state.active, np.ndarray):
+            store.state.active[slots] = False
+        else:
+            sl = jnp.asarray(slots)
+            store.state = dataclasses.replace(
+                store.state, active=store.state.active.at[sl].set(False)
+            )
         store.active_count -= len(slots)
         store.has_custom[slots] = False
 

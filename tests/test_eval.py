@@ -165,3 +165,18 @@ def test_device_runner_recycles_churn():
                                  max_idle_epochs=2)
     ids = {tid for rows in out.values() for tid, *_ in rows}
     assert len(ids) == 72  # every cohort tracked, none silently dropped
+
+
+def test_sort_sequence_pallas_engine_matches_xla():
+    """run_sequence_device(engine="pallas") must be id-exact vs the XLA scan
+    (fused SORT kernel in interpret mode on CPU, compiled on TPU)."""
+    _, dets = generate_sequence(n_objects=7, n_frames=24, seed=4,
+                                p_miss=0.1, fp_per_frame=0.3)
+    out_x, _ = run_sequence_device(dets, method="iou", capacity=64)
+    out_p, _ = run_sequence_device(dets, method="iou", capacity=64,
+                                   engine="pallas")
+    assert out_x.keys() == out_p.keys()
+    for f in out_x:
+        np.testing.assert_array_equal(
+            [r[0] for r in out_x[f]], [r[0] for r in out_p[f]],
+            err_msg=f"frame {f}")

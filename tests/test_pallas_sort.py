@@ -41,7 +41,7 @@ def test_pallas_scan_matches_xla(seed):
 
     run = compiled_pallas_sort_scan(cfg, chunk=4, interpret=True)
     state_b = new_sort_state(t, 1)
-    state_b, (ids, slots, pred) = run(state_b, bj, conf, vj, jnp.int32(1))
+    state_b, (ids, slots, pred, ovf) = run(state_b, bj, conf, vj, jnp.int32(1))
 
     mask = np.asarray(valid)
     np.testing.assert_array_equal(
@@ -91,7 +91,7 @@ def test_pallas_sort_overflow_and_zero_padding(recycle):
     state_a, outs_a = sort_scan(cfg, state_a, bj, conf, vj, jnp.int32(1))
     run = compiled_pallas_sort_scan(cfg, chunk=4, interpret=True)
     state_b = new_sort_state(t, 1)
-    state_b, (ids, slots, pred) = run(state_b, bj, conf, vj, jnp.int32(1))
+    state_b, (ids, slots, pred, ovf) = run(state_b, bj, conf, vj, jnp.int32(1))
 
     assert np.isfinite(np.asarray(state_b.pred_box)).all()
     assert np.asarray(outs_a.overflow).any()  # the regime is exercised

@@ -16,7 +16,7 @@ from similari_tpu.trackers.visual import (
 from similari_tpu.trackers.sort import VotingType
 
 
-def run_stream(seed, n_objects, steps, feat_dim=16, p_feat=0.8,
+def run_stream(engine, seed, n_objects, steps, feat_dim=16, p_feat=0.8,
                quality_lo=0.4, mtl=2, min_votes=1, q_use=0.5, q_collect=0.6,
                visual_kind="euclidean", visual_threshold=2.0,
                positional_kind="iou"):
@@ -44,7 +44,7 @@ def run_stream(seed, n_objects, steps, feat_dim=16, p_feat=0.8,
         .visual_max_observations(4)
         .visual_min_votes(min_votes)
     )
-    dev = VisualSort(1, opts, assignment_backend="hungarian")
+    dev = VisualSort(1, opts, assignment_backend="hungarian", engine=engine)
     ref = RefVisualSort(
         iou_threshold=0.3,
         positional_kind=positional_kind,
@@ -97,39 +97,41 @@ def run_stream(seed, n_objects, steps, feat_dim=16, p_feat=0.8,
     return mismatch_id, mismatch_vt, total
 
 
+@pytest.mark.parametrize("engine", ["host", "device"])
 @pytest.mark.parametrize("seed", [0, 1, 2])
-def test_visual_step_matches_oracle(seed):
-    mid, mvt, total = run_stream(seed, n_objects=10, steps=10)
+def test_visual_step_matches_oracle(seed, engine):
+    mid, mvt, total = run_stream(engine, seed, n_objects=10, steps=10)
     assert mid == 0, f"{mid}/{total} id mismatches"
     assert mvt <= 0.02 * total, f"{mvt}/{total} voting-type mismatches"
 
 
+@pytest.mark.parametrize("engine", ["host", "device"])
 @pytest.mark.parametrize("seed", [0, 3])
-def test_visual_cosine_matches_oracle(seed):
+def test_visual_cosine_matches_oracle(seed, engine):
     """Cosine ReID metric (`VisualSortMetricType::Cosine`,
     `visual_sort/metric.rs:52-65`): similarity-thresholded, weight = 1 - sim."""
-    mid, mvt, total = run_stream(
-        seed, n_objects=10, steps=10,
+    mid, mvt, total = run_stream(engine, seed, n_objects=10, steps=10,
         visual_kind="cosine", visual_threshold=0.7,
     )
     assert mid == 0, f"{mid}/{total} id mismatches"
     assert mvt <= 0.02 * total, f"{mvt}/{total} voting-type mismatches"
 
 
+@pytest.mark.parametrize("engine", ["host", "device"])
 @pytest.mark.parametrize("seed", [0, 4])
-def test_visual_maha_positional_matches_oracle(seed):
+def test_visual_maha_positional_matches_oracle(seed, engine):
     """Mahalanobis positional fallback (`PositionalMetricType::Mahalanobis`,
     `sort/metric.rs:58-72` via the visual cascade's second stage)."""
-    mid, mvt, total = run_stream(
-        seed, n_objects=10, steps=10, positional_kind="maha",
+    mid, mvt, total = run_stream(engine, seed, n_objects=10, steps=10, positional_kind="maha",
     )
     assert mid == 0, f"{mid}/{total} id mismatches"
     assert mvt <= 0.02 * total, f"{mvt}/{total} voting-type mismatches"
 
 
-def test_visual_oracle_with_gates_and_dropouts():
+@pytest.mark.parametrize("engine", ["host", "device"])
+def test_visual_oracle_with_gates_and_dropouts(engine):
     mid, mvt, total = run_stream(
-        7, n_objects=14, steps=12, p_feat=0.6, quality_lo=0.3, mtl=3,
+        engine, 7, n_objects=14, steps=12, p_feat=0.6, quality_lo=0.3, mtl=3,
         min_votes=2,
     )
     assert mid <= 0.01 * total, f"{mid}/{total} id mismatches"

@@ -142,6 +142,14 @@ def main():
             lines.append(
                 f"| Feature engine (256-d, gallery 3), {n} objects | "
                 f"{refs[n]:.3f} ms | {it[k]} ms | {refs[n] / it[k]:.1f}x |")
+    for n in (10, 50, 100):
+        k = f"visual_{n}_ms"
+        if k in it:
+            refs = {10: 0.447903, 50: 2.249694, 100: 5.775469}
+            lines.append(
+                f"| VisualSORT per-call (512-d), {n} objects | "
+                f"{refs[n]:.3f} ms | {it[k]} ms (host engine; stream engine "
+                f"covers the 10-object point) | {refs[n] / it[k]:.1f}x |")
     lines.append(
         "| BatchSORT IoU / Maha 100 objects | 618 / 649 | covered by the "
         "batch engine rows above (same step; see batch_sort sweep) | — |")
