@@ -4,11 +4,13 @@ Mirrors `/root/reference/src/trackers/sort/simple_api.rs` and its pyo3 surface:
 `predict[_with_scene]`, `wasted`, `clear_wasted`, `idle_tracks[_with_scene]`,
 `skip_epochs[_for_scene]`, `current_epoch[_with_scene]`, `shard_stats`.
 
-Architecture: each scene owns a fixed-capacity SoA `SortState` on device; one
-jitted step per predict call.  Epochs, custom object ids and the wasted-track
-bin are host-side (they are bookkeeping, not compute).  The `shards` argument
-is accepted for API compatibility but parallelism comes from the device, not
-threads.
+Architecture: each scene owns a fixed-capacity SoA `SortState`; per predict
+call either the native/NumPy host engine runs (interactive default —
+per-call device dispatch dwarfs the math, ARCHITECTURE.md §4b) or the
+jitted device step (oriented boxes, engine="device").  Epochs, custom
+object ids and the wasted-track bin are host-side bookkeeping.  The
+`shards` argument is accepted for API compatibility but parallelism comes
+from vectorized engines, not threads.
 """
 
 from __future__ import annotations
