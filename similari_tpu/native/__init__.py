@@ -22,13 +22,15 @@ _SRCS = [
     Path(__file__).parent / "motloader.cpp",
     Path(__file__).parent / "sortstep.cpp",
     Path(__file__).parent / "nms.cpp",
+    Path(__file__).parent / "visualstep.cpp",
 ]
+_HDRS = [Path(__file__).parent / "kf.h"]
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
 
 def _build_and_load() -> Optional[ctypes.CDLL]:
-    src = "".join(s.read_text() for s in _SRCS)
+    src = "".join(s.read_text() for s in _SRCS + _HDRS)
     tag = hashlib.sha256(src.encode()).hexdigest()[:16]
     cache_dir = Path(
         os.environ.get("SIMILARI_TPU_CACHE", Path.home() / ".cache" / "similari_tpu")
@@ -44,6 +46,7 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             "-fPIC",
             "-std=c++17",
             "-pthread",
+            "-I", str(Path(__file__).parent),
             *[str(s) for s in _SRCS],
             "-o",
             str(lib_path) + ".tmp",
@@ -104,6 +107,18 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.nms_host_batch.argtypes = [
         F, ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_int, U8]
     lib.nms_host_batch.restype = ctypes.c_int
+    lib.visual_step_host.argtypes = [
+        F, I, F,  # fcfg, icfg, constraints
+        F, F, F, F, F,  # kf
+        F, F, F,  # pred/obs/conf
+        U8, I, I, I,  # active, last, length, tid
+        F, F, U8, I, I,  # feats, feat_quality, feat_valid, collected, vt
+        F, F, F, F, U8,  # histories
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+        F, F, F, U8, F, F, ctypes.c_int, ctypes.c_int,  # detections
+        I, I, U8, F, I, I, I,  # outputs
+    ]
+    lib.visual_step_host.restype = ctypes.c_int
     return lib
 
 
@@ -357,6 +372,198 @@ def nms_host_batch(boxes: np.ndarray, threshold: float,
     if rc:
         raise RuntimeError(f"nms_host_batch failed: {rc}")
     return keep.astype(bool)
+
+
+def visual_step_available() -> bool:
+    lib = _get_lib()
+    return lib is not None and hasattr(lib, "visual_step_host")
+
+
+def visual_step_host(cfg, state, det_box, det_conf, det_feat, det_feat_valid,
+                     det_quality, det_own_area, epoch: int):
+    """Full VisualSORT epoch in one native call (visualstep.cpp).
+
+    Mutates the np-leaf `state` in place; returns
+    (next_id, slot, id, is_new, pred, length, voting_type) or None when the
+    native library (or an f32 gallery) is unavailable.  Raises on overflow.
+    """
+    lib = _get_lib()
+    if lib is None or state.feats.dtype != np.float32:
+        return None
+    d = det_box.shape[0]
+    F = ctypes.POINTER(ctypes.c_float)
+    I = ctypes.POINTER(ctypes.c_int32)
+    U8 = ctypes.POINTER(ctypes.c_uint8)
+
+    def f(a):
+        assert a.flags.c_contiguous
+        return a.ctypes.data_as(F)
+
+    def ip(a):
+        assert a.flags.c_contiguous
+        return a.ctypes.data_as(I)
+
+    def u8(a):
+        assert a.flags.c_contiguous
+        return a.ctypes.data_as(U8)
+
+    fcfg = np.asarray([
+        cfg.iou_threshold, cfg.positional_min_confidence,
+        cfg.visual_threshold, cfg.visual_minimal_area,
+        cfg.visual_minimal_quality_use, cfg.visual_minimal_quality_collect,
+        cfg.own_area_use, cfg.own_area_collect,
+        cfg.position_weight, cfg.velocity_weight, cfg.new_track_threshold,
+    ], np.float32)
+    icfg = np.asarray([
+        0 if cfg.positional_kind == "iou" else 1,
+        0 if cfg.visual_kind == "euclidean" else 1,
+        cfg.visual_min_votes, cfg.visual_minimal_track_length,
+        cfg.max_idle_epochs, len(cfg.constraints),
+    ], np.int32)
+    cons = np.ascontiguousarray(
+        np.asarray(sorted(cfg.constraints), np.float32).reshape(-1)) \
+        if cfg.constraints else np.zeros((0,), np.float32)
+    det_box = np.ascontiguousarray(det_box, np.float32)
+    det_conf = np.ascontiguousarray(det_conf, np.float32)
+    det_feat = np.ascontiguousarray(det_feat, np.float32)
+    dfv = np.ascontiguousarray(det_feat_valid, np.uint8)
+    det_quality = np.ascontiguousarray(det_quality, np.float32)
+    det_own_area = np.ascontiguousarray(det_own_area, np.float32)
+    o_slot = np.empty((d,), np.int32)
+    o_id = np.empty((d,), np.int32)
+    o_new = np.empty((d,), np.uint8)
+    o_pred = np.empty((d, 5), np.float32)
+    o_len = np.empty((d,), np.int32)
+    o_vt = np.empty((d,), np.int32)
+    o_nid = np.empty((1,), np.int32)
+    rc = lib.visual_step_host(
+        f(fcfg), ip(icfg), f(cons),
+        f(state.kf.mean_pos), f(state.kf.mean_vel), f(state.kf.cpp),
+        f(state.kf.cpv), f(state.kf.cvv),
+        f(state.pred_box), f(state.obs_box), f(state.conf),
+        u8(state.active), ip(state.last_epoch), ip(state.length),
+        ip(state.track_id),
+        f(state.feats), f(state.feat_quality), u8(state.feat_valid),
+        ip(state.collected), ip(state.voting_type),
+        f(state.hist_obs), f(state.hist_pred), f(state.hist_conf),
+        f(state.hist_feat), u8(state.hist_feat_valid),
+        state.capacity, state.history, state.gallery_size, state.feature_dim,
+        int(state.next_id),
+        f(det_box), f(det_conf), f(det_feat), u8(dfv), f(det_quality),
+        f(det_own_area), d, epoch,
+        ip(o_slot), ip(o_id), u8(o_new), f(o_pred), ip(o_len), ip(o_vt),
+        ip(o_nid),
+    )
+    if rc == 1:
+        raise RuntimeError(
+            f"track store overflow (capacity {state.capacity})")
+    if rc:
+        raise RuntimeError(f"visual_step_host failed: {rc}")
+    return (int(o_nid[0]), o_slot, o_id, o_new.astype(bool), o_pred, o_len,
+            o_vt)
+
+
+class VisualStepSession:
+    """Per-store native VisualSORT step with prebuilt ctypes arguments
+    (same pattern as SortStepSession: state pointers never move between
+    calls; the caller rebuilds the session on grow/engine switch)."""
+
+    __slots__ = ("_lib", "_pre", "_keep", "_state", "_outbufs", "_outcap")
+
+    def __init__(self, cfg, state):
+        self._lib = _get_lib()
+        assert self._lib is not None
+        assert state.feats.dtype == np.float32
+        F = ctypes.POINTER(ctypes.c_float)
+        I = ctypes.POINTER(ctypes.c_int32)
+        U8 = ctypes.POINTER(ctypes.c_uint8)
+
+        def f(a):
+            assert a.flags.c_contiguous
+            return a.ctypes.data_as(F)
+
+        def ip(a):
+            assert a.flags.c_contiguous
+            return a.ctypes.data_as(I)
+
+        def u8(a):
+            assert a.flags.c_contiguous
+            return a.ctypes.data_as(U8)
+
+        fcfg = np.asarray([
+            cfg.iou_threshold, cfg.positional_min_confidence,
+            cfg.visual_threshold, cfg.visual_minimal_area,
+            cfg.visual_minimal_quality_use,
+            cfg.visual_minimal_quality_collect,
+            cfg.own_area_use, cfg.own_area_collect,
+            cfg.position_weight, cfg.velocity_weight,
+            cfg.new_track_threshold,
+        ], np.float32)
+        icfg = np.asarray([
+            0 if cfg.positional_kind == "iou" else 1,
+            0 if cfg.visual_kind == "euclidean" else 1,
+            cfg.visual_min_votes, cfg.visual_minimal_track_length,
+            cfg.max_idle_epochs, len(cfg.constraints),
+        ], np.int32)
+        cons = np.ascontiguousarray(
+            np.asarray(sorted(cfg.constraints), np.float32).reshape(-1)) \
+            if cfg.constraints else np.zeros((0,), np.float32)
+        self._keep = (fcfg, icfg, cons, state)
+        self._state = state
+        self._pre = (
+            f(fcfg), ip(icfg), f(cons),
+            f(state.kf.mean_pos), f(state.kf.mean_vel), f(state.kf.cpp),
+            f(state.kf.cpv), f(state.kf.cvv),
+            f(state.pred_box), f(state.obs_box), f(state.conf),
+            u8(state.active), ip(state.last_epoch), ip(state.length),
+            ip(state.track_id),
+            f(state.feats), f(state.feat_quality), u8(state.feat_valid),
+            ip(state.collected), ip(state.voting_type),
+            f(state.hist_obs), f(state.hist_pred), f(state.hist_conf),
+            f(state.hist_feat), u8(state.hist_feat_valid),
+            state.capacity, state.history, state.gallery_size,
+            state.feature_dim,
+        )
+        self._outcap = 0
+        self._outbufs = None
+
+    def _outs(self, d):
+        if d > self._outcap:
+            cap = max(16, 1 << (d - 1).bit_length())
+            self._outbufs = (
+                np.empty((cap,), np.int32), np.empty((cap,), np.int32),
+                np.empty((cap,), np.uint8), np.empty((cap, 5), np.float32),
+                np.empty((cap,), np.int32), np.empty((cap,), np.int32),
+                np.empty((1,), np.int32),
+            )
+            self._outcap = cap
+        return self._outbufs
+
+    def step(self, det_box, det_conf, det_feat, det_feat_valid, det_quality,
+             det_own_area, epoch: int, next_id: int):
+        d = det_box.shape[0]
+        F = ctypes.POINTER(ctypes.c_float)
+        I = ctypes.POINTER(ctypes.c_int32)
+        U8 = ctypes.POINTER(ctypes.c_uint8)
+        dfv = np.ascontiguousarray(det_feat_valid, np.uint8)
+        o_slot, o_id, o_new, o_pred, o_len, o_vt, o_nid = self._outs(d)
+        rc = self._lib.visual_step_host(
+            *self._pre, next_id,
+            det_box.ctypes.data_as(F), det_conf.ctypes.data_as(F),
+            det_feat.ctypes.data_as(F), dfv.ctypes.data_as(U8),
+            det_quality.ctypes.data_as(F), det_own_area.ctypes.data_as(F),
+            d, epoch,
+            o_slot.ctypes.data_as(I), o_id.ctypes.data_as(I),
+            o_new.ctypes.data_as(U8), o_pred.ctypes.data_as(F),
+            o_len.ctypes.data_as(I), o_vt.ctypes.data_as(I),
+            o_nid.ctypes.data_as(I),
+        )
+        if rc == 1:
+            raise RuntimeError("track store overflow")
+        if rc:
+            raise RuntimeError(f"visual_step_host failed: {rc}")
+        return (int(o_nid[0]), o_slot[:d], o_id[:d], o_new[:d].astype(bool),
+                o_pred[:d], o_len[:d], o_vt[:d])
 
 
 def _load_sequence_soa_numpy(path):

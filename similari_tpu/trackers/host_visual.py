@@ -69,6 +69,25 @@ def host_visual_step(
     det_conf = np.ascontiguousarray(det_conf, np.float32)
     det_feat = np.ascontiguousarray(det_feat, np.float32)
 
+    # small frames: one native C call (visualstep.cpp) replaces ~100 numpy
+    # dispatches; above ~32 detections the scalar O(D*C*K*F) distance loop
+    # loses to the BLAS path below, so the split is by frame size
+    if d <= 32:
+        from .. import native
+
+        if native.visual_step_available():
+            res = native.visual_step_host(
+                cfg, state, det_box, det_conf, det_feat, det_feat_valid,
+                det_quality, det_own_area, int(epoch))
+            if res is not None:
+                nid, slot, tid, is_new, pred, length, vt = res
+                out = {
+                    "slot": slot, "track_id": tid, "is_new": is_new,
+                    "pred_box": pred, "length": length, "voting_type": vt,
+                }
+                return dataclasses.replace(
+                    state, next_id=np.int32(nid)), out
+
     # ---- compatible columns ---------------------------------------------
     active = state.active
     delta = np.int32(epoch) - state.last_epoch

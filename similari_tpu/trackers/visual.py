@@ -249,6 +249,7 @@ class _VisualSceneStore:
         self.active_count = 0
         self.oriented = False  # sticky: flips when a rotated box is seen
         self.host = False  # True while state leaves are np.ndarrays
+        self.session = None  # cached native step (rebuilt when buffers move)
 
     def grow(self, min_capacity: int):
         cap = self.state.capacity
@@ -262,6 +263,7 @@ class _VisualSceneStore:
                 self.state = host_grow(self.state, new_cap)
             else:
                 self.state = grow_visual_state(self.state, new_cap)
+            self.session = None  # state buffers moved
             self.custom_ids = np.concatenate(
                 [self.custom_ids, np.full((new_cap - cap,), -1, np.int64)]
             )
@@ -281,6 +283,7 @@ class _VisualSceneStore:
             feats=padder(st.feats, pad),
             hist_feat=padder(st.hist_feat, ((0, 0), (0, 0), (0, new_dim - old))),
         )
+        self.session = None  # feature buffers moved
 
 
 class VisualSort:
@@ -410,11 +413,13 @@ class VisualSort:
             and self._cfg.feature_precision == "f32"
         )
         if use_host:
+            from .. import native
             from . import host_sort, host_visual
 
             if not store.host:
                 store.state = host_sort.state_to_host(store.state)
                 store.host = True
+                store.session = None
             # own-area on the host engine: always the exact polygon oracle
             if (
                 self._cfg.own_area_use + self._cfg.own_area_collect > 0.0
@@ -425,21 +430,33 @@ class VisualSort:
                     ),
                     np.float32,
                 )
-            state = dataclasses.replace(
-                store.state, next_id=np.int32(self._next_track_id)
-            )
-            state, hout = host_visual.host_visual_step(
-                self._cfg, state, box[:d], conf[:d], feat[:d],
-                feat_valid[:d], quality[:d], oa[:d], epoch,
-            )
-            store.state = state
-            slot = hout["slot"]
-            track_id = hout["track_id"]
-            is_new = hout["is_new"]
-            pred_box = hout["pred_box"]
-            length = hout["length"]
-            vt = hout["voting_type"]
-            self._next_track_id = int(state.next_id)
+            if (d <= 32 and native.visual_step_available()
+                    and store.state.feats.dtype == np.float32):
+                if store.session is None:
+                    store.session = native.VisualStepSession(
+                        self._cfg, store.state)
+                (nid, slot, track_id, is_new, pred_box, length, vt) = \
+                    store.session.step(
+                        box[:d], conf[:d], feat[:d], feat_valid[:d],
+                        quality[:d], oa[:d], epoch, self._next_track_id)
+                store.state.next_id[...] = nid
+            else:
+                state = dataclasses.replace(
+                    store.state, next_id=np.int32(self._next_track_id)
+                )
+                state, hout = host_visual.host_visual_step(
+                    self._cfg, state, box[:d], conf[:d], feat[:d],
+                    feat_valid[:d], quality[:d], oa[:d], epoch,
+                )
+                store.state = state
+                slot = hout["slot"]
+                track_id = hout["track_id"]
+                is_new = hout["is_new"]
+                pred_box = hout["pred_box"]
+                length = hout["length"]
+                vt = hout["voting_type"]
+                nid = int(state.next_id)
+            self._next_track_id = nid if isinstance(nid, int) else int(nid)
             store.active_count += int(is_new.sum())
         else:
             if store.host:
