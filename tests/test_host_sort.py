@@ -120,3 +120,26 @@ def test_auto_engine_flips_to_device_on_oriented():
     # and tracks survived the engine switch
     _, ids2, _, _, _ = tracker.predict_arrays(0, boxes, conf)
     np.testing.assert_array_equal(ids2, ids)
+
+
+def test_host_matches_device_fuzzed_configs():
+    """Config fuzz: random thresholds/idle/churn must stay id-exact between
+    the host (native C++/NumPy) and device engines."""
+    rng = np.random.default_rng(123)
+    for trial in range(8):
+        kind = "iou" if trial % 2 == 0 else "maha"
+        method = (PositionalMetricType.iou(float(rng.uniform(0.1, 0.6)))
+                  if kind == "iou" else PositionalMetricType.maha())
+        stc = None
+        if trial % 3 == 0:
+            stc = SpatioTemporalConstraints()
+            stc.add_constraints([(1, float(rng.uniform(0.5, 2.0)))])
+        frames = _stream(1000 + trial, steps=8,
+                         n=int(rng.integers(5, 40)),
+                         churn=int(rng.integers(0, 4)))
+        kw = dict(constraints=stc, initial_capacity=int(rng.choice([8, 64])))
+        _, host = _run("host", method, frames, **kw)
+        _, dev = _run("device", method, frames, **kw)
+        for s, ((hi, *_a), (di, *_b)) in enumerate(zip(host, dev)):
+            np.testing.assert_array_equal(
+                hi, di, err_msg=f"trial {trial} frame {s}")
