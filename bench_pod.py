@@ -143,6 +143,53 @@ def measure_visual(mesh, n_dev, scenes, objects, feat_dim, n_small, n_big):
     return scenes / per_step_time(run, n_small, n_big)
 
 
+def measure_gallery_query(mesh, n_dev, scenes, objects, feat_dim,
+                          n_small, n_big, queries=128, topk=8):
+    """Cross-shard global ReID gallery query throughput (the collective
+    path of north-star config 5): per call, every shard scores the query
+    batch against its local galleries (one MXU matmul + local top-k) and
+    the candidates ride one all_gather; queries/sec is reported."""
+    import jax
+    import jax.numpy as jnp
+
+    from similari_tpu.parallel import (
+        global_gallery_query,
+        new_batched_visual_state,
+        shard_batched_state,
+    )
+
+    rng = np.random.default_rng(1)
+    gallery = 3
+    states = new_batched_visual_state(scenes, 2 * objects, 1, gallery,
+                                      feat_dim)
+    # populate every gallery lane with random live features
+    import dataclasses
+
+    states = dataclasses.replace(
+        states,
+        feats=jnp.asarray(rng.normal(size=states.feats.shape
+                                     ).astype(np.float32)),
+        feat_valid=jnp.ones(states.feat_valid.shape, bool),
+        active=jnp.ones(states.active.shape, bool),
+        track_id=jnp.arange(scenes * 2 * objects, dtype=jnp.int32
+                            ).reshape(scenes, 2 * objects),
+    )
+    states = shard_batched_state(states, mesh)
+    qfn = global_gallery_query("cosine", topk, mesh)
+    qs = jnp.asarray(rng.normal(size=(queries, feat_dim)).astype(np.float32))
+
+    def run(n):
+        t0 = time.perf_counter()
+        out = None
+        for i in range(n):
+            out = qfn(states, qs + np.float32(i) * 1e-6)
+        np.asarray(out[0][0, 0])  # true sync
+        return time.perf_counter() - t0
+
+    per_call = per_step_time(run, 1, n_small, n_big)
+    return queries / per_call
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--platform", default=None, choices=[None, "cpu", "tpu"])
@@ -152,7 +199,7 @@ def main():
     ap.add_argument("--objects", type=int, default=100)
     ap.add_argument("--feat-dim", type=int, default=128)
     ap.add_argument("--tracker", default="both",
-                    choices=["sort", "visual", "both"])
+                    choices=["sort", "visual", "both", "gallery"])
     ap.add_argument("--steps", type=int, nargs=2, default=(2, 16),
                     metavar=("SMALL", "BIG"))
     args = ap.parse_args()
@@ -192,6 +239,20 @@ def main():
     rows = {}
     trackers = (["sort", "visual"] if args.tracker == "both"
                 else [args.tracker])
+    if args.tracker == "gallery":
+        base = None
+        for n_dev in counts:
+            mesh = scene_mesh(n_dev)
+            scenes = args.scenes_per_device * n_dev
+            qps = measure_gallery_query(mesh, n_dev, scenes, args.objects,
+                                        args.feat_dim, *args.steps)
+            if base is None:
+                base = qps
+            rows[f"gallery_n{n_dev}_qps"] = round(qps, 2)
+            log(f"gallery n={n_dev:<3d} {qps:12.1f} queries/s over "
+                f"{scenes * 2 * args.objects * 3} gallery lanes  "
+                f"(x{qps / base:.2f} vs n=1 while the corpus grew x{n_dev})")
+        trackers = []
     for tracker in trackers:
         base = None
         for n_dev in counts:
