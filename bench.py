@@ -422,6 +422,106 @@ def bench_batch_visual_scan(n_scenes, n_objects, feat_dim, base_len,
     return scene_fps, flops
 
 
+def bench_interactive_host(reps=40):
+    """Per-call latencies of the HOST engines (C++/NumPy), runnable inside
+    the TPU process (no device dispatch on these paths) so the driver's
+    single-JSON capture carries the interactive rows too.  Medians in ms;
+    references are the published per-call tables
+    (api.md:250-257, benchmarks.md:82-86,93-109)."""
+    import statistics
+    import time as _t
+
+    from similari_tpu import (
+        BoundingBox, PositionalMetricType, Sort, VisualSort,
+        VisualSortMetricType, VisualSortObservation, VisualSortObservationSet,
+        VisualSortOptions,
+    )
+    from similari_tpu.trackers.feature import FeatureTracker
+
+    out = {}
+
+    def med(fn, n_reps=reps):
+        ts = []
+        for _ in range(n_reps):
+            t0 = _t.perf_counter()
+            fn()
+            ts.append(_t.perf_counter() - t0)
+        return statistics.median(ts) * 1e3
+
+    for n in (10, 100, 500, 1000):
+        rng = np.random.default_rng(1)
+        xy = rng.uniform(0, 2000, (n, 2)).astype(np.float32)
+        wh = rng.uniform(30, 60, (n, 2)).astype(np.float32)
+        tr = Sort(shards=1, bbox_history=1, max_idle_epochs=5,
+                  method=PositionalMetricType.iou(0.3))
+
+        def frame():
+            nonlocal xy
+            xy = xy + rng.uniform(-2, 2, xy.shape).astype(np.float32)
+            b = np.zeros((n, 5), np.float32)
+            b[:, :2] = xy
+            b[:, 3] = wh[:, 0] / wh[:, 1]
+            b[:, 4] = wh[:, 1]
+            return b, np.ones((n,), np.float32)
+
+        for _ in range(5):
+            tr.predict_arrays(0, *frame())
+        out[f"interactive_sort_{n}_ms"] = round(
+            med(lambda: tr.predict_arrays(0, *frame())), 3)
+
+    for n in (10, 100, 500):
+        rng = np.random.default_rng(2)
+        base = np.zeros((n, 256), np.float32)
+        base[:, 0] = 1000.0 * np.arange(n)
+        ftr = FeatureTracker(256, gallery=3)
+
+        def epoch():
+            nonlocal base
+            base = base + rng.uniform(-0.1, 0.1, base.shape
+                                      ).astype(np.float32)
+            return base
+
+        for _ in range(5):
+            ftr.predict(epoch())
+        out[f"interactive_feature_{n}_ms"] = round(
+            med(lambda: ftr.predict(epoch()),
+                n_reps=max(8, reps // (4 if n >= 500 else 1))), 3)
+
+    for n in (10, 50, 100):
+        rng = np.random.default_rng(3)
+        xy = rng.uniform(0, 600 * np.sqrt(n / 10), (n, 2)).astype(np.float32)
+        ident = rng.normal(size=(n, 512)).astype(np.float32)
+        opts = VisualSortOptions()
+        opts.visual_metric(VisualSortMetricType.euclidean(10.0))
+        opts.positional_metric(PositionalMetricType.iou(0.3))
+        opts.visual_minimal_track_length(2)
+        opts.max_idle_epochs(5)
+        vtr = VisualSort(1, opts)
+
+        def vframe():
+            nonlocal xy
+            xy = xy + rng.uniform(-2, 2, xy.shape).astype(np.float32)
+            obs = VisualSortObservationSet()
+            for i in range(n):
+                f = ident[i] + rng.normal(
+                    scale=0.05, size=512).astype(np.float32)
+                obs.add(VisualSortObservation(
+                    feature=f, feature_quality=0.9,
+                    bounding_box=BoundingBox(
+                        float(xy[i, 0]), float(xy[i, 1]), 20.0, 40.0
+                    ).as_xyaah(),
+                    custom_object_id=i))
+            return obs
+
+        for _ in range(5):
+            vtr.predict(vframe())
+        frames = [vframe() for _ in range(reps)]
+        it = iter(frames)
+        out[f"interactive_visual_{n}_ms"] = round(
+            med(lambda: vtr.predict(next(it)), n_reps=len(frames)), 3)
+    return out
+
+
 def bench_nms_host(n_boxes, oriented, frames=4096):
     """Host (native C++) NMS throughput — the correct engine below ~64
     boxes, where device dispatch dwarfs the math (same engine split as the
@@ -659,6 +759,24 @@ def main():
             continue
         fps, flops = r
         record(name, fps, flops, unit="frames/s")
+
+    # ---- interactive host-engine rows (no device dispatch; cheap) ---------
+    if not fast and not over_budget("interactive_host"):
+        try:
+            inter = bench_interactive_host()
+            results.update(inter)
+            refs = {"sort_10": 0.149, "sort_100": 1.660, "sort_500": 17.432,
+                    "sort_1000": 53.098, "feature_10": 0.101465,
+                    "feature_100": 4.020673, "feature_500": 61.716729,
+                    "visual_10": 0.447903, "visual_50": 2.249694,
+                    "visual_100": 5.775469}
+            for key, ref in refs.items():
+                ms = inter.get(f"interactive_{key}_ms")
+                if ms:
+                    log(f"interactive_{key}: {ms:.3f} ms"
+                        f" (reference {ref:.3f}) [x{ref / ms:.2f}]")
+        except Exception as e:  # host engines must never sink the bench
+            log(f"interactive_host FAILED: {e!r}")
 
     log(f"total bench time: {time.time() - t_start:.1f}s")
 
