@@ -30,7 +30,10 @@ _TRIED = False
 
 
 def _build_and_load() -> Optional[ctypes.CDLL]:
-    src = "".join(s.read_text() for s in _SRCS + _HDRS)
+    try:
+        src = "".join(s.read_text() for s in _SRCS + _HDRS)
+    except OSError:  # sources missing from the install -> pure-Python paths
+        return None
     tag = hashlib.sha256(src.encode()).hexdigest()[:16]
     cache_dir = Path(
         os.environ.get("SIMILARI_TPU_CACHE", Path.home() / ".cache" / "similari_tpu")
@@ -266,8 +269,9 @@ class SortStepSession:
             raise RuntimeError("track store overflow")
         if rc:
             raise RuntimeError(f"sort_step_host failed: {rc}")
-        return (int(o_nid[0]), o_slot[:d], o_id[:d], o_new[:d].astype(bool),
-                o_pred[:d], o_len[:d])
+        # copies: the buffers are reused next call; callers own the results
+        return (int(o_nid[0]), o_slot[:d].copy(), o_id[:d].copy(),
+                o_new[:d].astype(bool), o_pred[:d].copy(), o_len[:d].copy())
 
 
 def sort_step_host(cfg, state, det_box, det_conf, epoch: int):
@@ -562,8 +566,10 @@ class VisualStepSession:
             raise RuntimeError("track store overflow")
         if rc:
             raise RuntimeError(f"visual_step_host failed: {rc}")
-        return (int(o_nid[0]), o_slot[:d], o_id[:d], o_new[:d].astype(bool),
-                o_pred[:d], o_len[:d], o_vt[:d])
+        # copies: the buffers are reused next call; callers own the results
+        return (int(o_nid[0]), o_slot[:d].copy(), o_id[:d].copy(),
+                o_new[:d].astype(bool), o_pred[:d].copy(), o_len[:d].copy(),
+                o_vt[:d].copy())
 
 
 def _load_sequence_soa_numpy(path):

@@ -58,10 +58,8 @@ inline void kf_update(const float* z, float pw, KfRow& s) {
   }
 }
 
-inline void load_row(const float* base, int t, KfRow& s, const float* mp,
-                     const float* mv, const float* cpp, const float* cpv,
-                     const float* cvv) {
-  (void)base;
+inline void load_row(int t, KfRow& s, const float* mp, const float* mv,
+                     const float* cpp, const float* cpv, const float* cvv) {
   const size_t o = static_cast<size_t>(t) * 5;
   std::memcpy(s.mp, mp + o, 5 * sizeof(float));
   std::memcpy(s.mv, mv + o, 5 * sizeof(float));

@@ -21,6 +21,8 @@
 #include <limits>
 #include <vector>
 
+#include "kf.h"
+
 extern "C" int lap_solve_max(const float* weights, int R, int C,
                              int32_t* out_col);
 
@@ -29,34 +31,10 @@ namespace {
 constexpr float kChi2Gate = 11.070f;        // CHI2INV95[4], kalman_2d_box.rs:174
 constexpr float kChi2Upper = 100.0f;        // CHI2_UPPER_BOUND
 
-struct KfRow {
-  float mp[5], mv[5], cpp[5], cpv[5], cvv[5];
-};
-
-inline void kf_initiate(const float* z, float pw, float vw, KfRow& s) {
-  const float p = z[4];
-  for (int k = 0; k < 5; ++k) {
-    const float sp = (k == 3) ? 1e-2f : 2.0f * pw * p;
-    const float sv = (k == 3) ? 1e-5f : 10.0f * vw * p;
-    s.mp[k] = z[k];
-    s.mv[k] = 0.0f;
-    s.cpp[k] = sp * sp;
-    s.cpv[k] = 0.0f;
-    s.cvv[k] = sv * sv;
-  }
-}
-
-inline void kf_predict(float pw, float vw, KfRow& s) {
-  const float p = s.mp[4];
-  for (int k = 0; k < 5; ++k) {
-    const float qp = (k == 3) ? 1e-2f : pw * p;
-    const float qv = (k == 3) ? 1e-5f : vw * p;
-    s.mp[k] += s.mv[k];
-    s.cpp[k] = s.cpp[k] + 2.0f * s.cpv[k] + s.cvv[k] + qp * qp;
-    s.cpv[k] += s.cvv[k];
-    s.cvv[k] += qv * qv;
-  }
-}
+using similari_kf::KfRow;
+using similari_kf::kf_initiate;
+using similari_kf::kf_predict;
+using similari_kf::kf_update;
 
 inline float box_radius(const float* b) {
   const float hw = b[3] * b[4] * 0.5f;
@@ -328,37 +306,13 @@ int sort_step_host(
     KfRow s;
     const bool matched = tgt[i] >= 0;
     if (matched) {
-      std::memcpy(s.mp, kf_mp + t5, 5 * sizeof(float));
-      std::memcpy(s.mv, kf_mv + t5, 5 * sizeof(float));
-      std::memcpy(s.cpp, kf_cpp + t5, 5 * sizeof(float));
-      std::memcpy(s.cpv, kf_cpv + t5, 5 * sizeof(float));
-      std::memcpy(s.cvv, kf_cvv + t5, 5 * sizeof(float));
+      similari_kf::load_row(t, s, kf_mp, kf_mv, kf_cpp, kf_cpv, kf_cvv);
     } else {
       kf_initiate(z, position_weight, velocity_weight, s);
     }
     kf_predict(position_weight, velocity_weight, s);
-    // update (kalman_2d_box.rs:124-148); same op order as ops/kalman.py
-    {
-      const float p = s.mp[4];
-      for (int k = 0; k < 5; ++k) {
-        const float rs = (k == 3) ? 1e-1f : position_weight * p;
-        const float S = s.cpp[k] + rs * rs;
-        const float nu = z[k] - s.mp[k];
-        const float gp = s.cpp[k] / S;
-        const float gv = s.cpv[k] / S;
-        s.mp[k] += nu * gp;
-        s.mv[k] += nu * gv;
-        const float cpp0 = s.cpp[k], cpv0 = s.cpv[k];
-        s.cpp[k] = cpp0 - cpp0 * gp;
-        s.cpv[k] = cpv0 - cpp0 * gv;
-        s.cvv[k] = s.cvv[k] - cpv0 * gv;
-      }
-    }
-    std::memcpy(kf_mp + t5, s.mp, 5 * sizeof(float));
-    std::memcpy(kf_mv + t5, s.mv, 5 * sizeof(float));
-    std::memcpy(kf_cpp + t5, s.cpp, 5 * sizeof(float));
-    std::memcpy(kf_cpv + t5, s.cpv, 5 * sizeof(float));
-    std::memcpy(kf_cvv + t5, s.cvv, 5 * sizeof(float));
+    kf_update(z, position_weight, s);
+    similari_kf::store_row(s, t, kf_mp, kf_mv, kf_cpp, kf_cpv, kf_cvv);
     std::memcpy(pred_box + t5, s.mp, 5 * sizeof(float));
     std::memcpy(obs_box + t5, z, 5 * sizeof(float));
     conf[t] = det_conf[i];

@@ -311,8 +311,7 @@ int visual_step_host(
     const bool matched = wins_visual[i] || tgt_col[i] >= 0;
     similari_kf::KfRow s;
     if (matched) {
-      similari_kf::load_row(nullptr, t, s, kf_mp, kf_mv, kf_cpp, kf_cpv,
-                            kf_cvv);
+      similari_kf::load_row(t, s, kf_mp, kf_mv, kf_cpp, kf_cpv, kf_cvv);
     } else {
       similari_kf::kf_initiate(z, pw, vw, s);
     }

@@ -278,7 +278,7 @@ def host_sort_step(
             "pred_box": pred_box,
             "length": length,
         }
-        return dataclasses.replace(state, next_id=np.int32(nid)), out
+        return dataclasses.replace(state, next_id=np.array(nid, np.int32)), out
 
     active = state.active
     delta_ok = (np.int32(epoch) - state.last_epoch) <= cfg.max_idle_epochs
@@ -356,7 +356,8 @@ def host_sort_step(
         "pred_box": pred_box,
         "length": new_length,
     }
-    return dataclasses.replace(state, next_id=np.int32(nid0 + n_new)), out
+    return dataclasses.replace(
+        state, next_id=np.array(nid0 + n_new, np.int32)), out
 
 
 def state_to_host(state: SortState) -> SortState:

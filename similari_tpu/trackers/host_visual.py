@@ -86,7 +86,7 @@ def host_visual_step(
                     "pred_box": pred, "length": length, "voting_type": vt,
                 }
                 return dataclasses.replace(
-                    state, next_id=np.int32(nid)), out
+                    state, next_id=np.array(nid, np.int32)), out
 
     # ---- compatible columns ---------------------------------------------
     active = state.active
@@ -306,4 +306,5 @@ def host_visual_step(
         "length": new_length,
         "voting_type": vt,
     }
-    return dataclasses.replace(state, next_id=np.int32(nid0 + n_new)), out
+    return dataclasses.replace(
+        state, next_id=np.array(nid0 + n_new, np.int32)), out

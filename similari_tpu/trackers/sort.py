@@ -167,10 +167,10 @@ class Sort:
         assignment_backend: str = "auto",
         engine: str = "auto",
     ):
-        """engine: "host" = NumPy per-call fast path (interactive latency),
-        "device" = jitted step, "auto" = host for axis-aligned configs
-        (per-call dispatch overhead dwarfs the math there — see
-        trackers/host_sort.py), device for oriented boxes."""
+        """engine: "host" / "auto" = native-or-NumPy per-call fast path for
+        axis-aligned configs (per-call dispatch overhead dwarfs the math
+        there — trackers/host_sort.py); "device" = always the jitted step.
+        Oriented boxes always run on the device clip kernel regardless."""
         assert bbox_history > 0
         assert engine in ("auto", "host", "device")
         self._engine = engine
@@ -291,9 +291,10 @@ class Sort:
         store.grow(store.active_count + d)
         store.oriented = store.oriented or bool((det_box[:, 2] != 0).any())
 
-        use_host = self._engine == "host" or (
-            self._engine == "auto" and not store.oriented
-        )
+        # oriented boxes ALWAYS use the device clip kernel — the host steps
+        # have no rotated-IoU path, and silently ignoring angles would be
+        # wrong tracking, so "host" means "host where the host can be exact"
+        use_host = self._engine in ("host", "auto") and not store.oriented
         if use_host:
             from .. import native
             from . import host_sort

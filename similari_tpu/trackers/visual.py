@@ -296,9 +296,10 @@ class VisualSort:
         assignment_backend: str = "auto",
         engine: str = "auto",
     ):
-        """engine: "host" = NumPy per-call fast path (interactive latency,
-        trackers/host_visual.py), "device" = jitted step, "auto" = host for
-        axis-aligned f32 configs, device otherwise."""
+        """engine: "host" / "auto" = native-or-NumPy per-call fast path
+        (trackers/host_visual.py) for axis-aligned f32 configs; "device" =
+        always the jitted step.  Oriented boxes / bf16 galleries always run
+        on the device engine regardless."""
         assert engine in ("auto", "host", "device")
         self._engine = engine
         opts = opts or VisualSortOptions()
@@ -407,8 +408,11 @@ class VisualSort:
         store.grow(store.active_count + d)
         store.oriented = store.oriented or bool((box[:d, 2] != 0).any())
 
-        use_host = self._engine == "host" or (
-            self._engine == "auto"
+        # oriented boxes and bf16 galleries always use the device engine
+        # (the host cascade has no rotated-IoU path and computes f32
+        # distances); "host" means "host where the host can be exact"
+        use_host = (
+            self._engine in ("host", "auto")
             and not store.oriented
             and self._cfg.feature_precision == "f32"
         )
@@ -464,6 +468,7 @@ class VisualSort:
 
                 store.state = host_sort.state_to_device(store.state)
                 store.host = False
+                store.session = None
             store.state = dataclasses.replace(
                 store.state, next_id=jnp.int32(self._next_track_id)
             )

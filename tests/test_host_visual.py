@@ -94,3 +94,89 @@ def test_host_visual_matches_device_step(cfg_ix, seed):
     np.testing.assert_allclose(
         sh.pred_box, np.asarray(sx.pred_box), rtol=2e-4, atol=1e-3)
     assert int(sh.next_id) == int(sx.next_id)
+
+
+def test_visualsort_frame_size_crosses_native_threshold():
+    """Regression (round-3 self-review): a frame >32 dets (NumPy fallback)
+    followed by one <=32 (native session) crashed on next_id item assignment
+    when the fallback replaced the 0-d next_id array with a scalar."""
+    from similari_tpu import (
+        BoundingBox, PositionalMetricType, VisualSort, VisualSortMetricType,
+        VisualSortObservation, VisualSortObservationSet, VisualSortOptions,
+    )
+
+    rng = np.random.default_rng(0)
+    idents = rng.normal(size=(40, 8)).astype(np.float32) * 10.0
+
+    def make():
+        opts = VisualSortOptions()
+        opts.visual_metric(VisualSortMetricType.euclidean(5.0))
+        opts.positional_metric(PositionalMetricType.iou(0.3))
+        opts.visual_minimal_track_length(2)
+        opts.max_idle_epochs(10)  # tracks 11-40 idle while small frames run
+        return VisualSort(1, opts)
+
+    def frame(n, step):
+        obs = VisualSortObservationSet()
+        for i in range(n):
+            obs.add(VisualSortObservation(
+                feature=idents[i] + 0.05 * rng.normal(size=8
+                                                      ).astype(np.float32),
+                feature_quality=0.9,
+                bounding_box=BoundingBox(
+                    80.0 * i + step, 40.0, 16.0, 32.0).as_xyaah(),
+                custom_object_id=i))
+        return obs
+
+    tr = make()
+    big = tr.predict(frame(40, 0))      # > 32: NumPy path
+    small = tr.predict(frame(10, 2))    # <= 32: native session path
+    assert [t.id for t in small] == [t.id for t in big][:10]
+    small2 = tr.predict(frame(10, 4))   # session reused — must not crash
+    assert [t.id for t in small2] == [t.id for t in small]
+    big2 = tr.predict(frame(40, 6))     # back above the threshold
+    assert [t.id for t in big2] == [t.id for t in big]
+
+
+def test_sort_predict_arrays_results_stable_across_calls():
+    """Regression (round-3 self-review): session output buffers were reused,
+    so results of call N were overwritten by call N+1."""
+    from similari_tpu.trackers import PositionalMetricType, Sort
+
+    tr = Sort(shards=1, bbox_history=1, max_idle_epochs=5,
+              method=PositionalMetricType.iou(0.3))
+    b1 = np.array([[10.0, 10, 0, 1, 20], [80.0, 10, 0, 1, 20]], np.float32)
+    b2 = b1 + np.array([2.0, 0, 0, 0, 0], np.float32)
+    conf = np.ones((2,), np.float32)
+    _, ids1, pred1, len1, slot1 = tr.predict_arrays(0, b1, conf)
+    ids1_snapshot = ids1.copy()
+    pred1_snapshot = pred1.copy()
+    tr.predict_arrays(0, b2, conf)
+    np.testing.assert_array_equal(ids1, ids1_snapshot)
+    np.testing.assert_array_equal(pred1, pred1_snapshot)
+
+
+def test_engine_host_with_oriented_uses_device_semantics():
+    """Regression (round-3 self-review): engine="host" with rotated boxes must
+    route to the device clip kernel, not silently ignore the angles."""
+    from similari_tpu.trackers import PositionalMetricType, Sort
+
+    def run(engine):
+        tr = Sort(shards=1, bbox_history=1, max_idle_epochs=5,
+                  method=PositionalMetricType.iou(0.3), engine=engine)
+        out = []
+        # thin rotated boxes: ids depend on the true rotated IoU
+        b = np.array([[50.0, 50, 0.8, 4.0, 10],
+                      [58.0, 50, 0.8, 4.0, 10]], np.float32)
+        conf = np.ones((2,), np.float32)
+        for f in range(3):
+            bb = b.copy()
+            bb[:, 0] += f
+            _, ids, _, _, _ = tr.predict_arrays(0, bb, conf)
+            out.append(ids.copy())
+        return out
+
+    host = run("host")
+    dev = run("device")
+    for a, b_ in zip(host, dev):
+        np.testing.assert_array_equal(a, b_)
