@@ -571,7 +571,7 @@ def bench_nms(n_boxes, oriented, base_len):
         def body(c, inp):
             bb, r = inp
             order = jnp.argsort(-r)
-            keep = nms_kernel(bb[order], r[order], valid, jnp.float32(0.8),
+            keep = nms_kernel(bb[order], valid, jnp.float32(0.8),
                               oriented)
             return c + jnp.sum(keep), None
 

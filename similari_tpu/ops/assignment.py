@@ -328,8 +328,10 @@ def augment_with_threshold(
     """Build the SORT voting matrix [D, D+T] (`sort/voting.rs:44-84`).
 
     metric[D, T]: pair weights, 0 where the pair is invalid/filtered.
-    Diagonal [i, i] = threshold models "create a new track".  Padding rows get
-    a large diagonal so they never steal a real column; padding columns are 0.
+    Diagonal [i, i] = threshold models "create a new track".  Padding rows
+    keep the same threshold diagonal (their body row is all-zero and the
+    diagonal column is private, so the optimum parks them there — see the
+    inline comment); padding columns are 0.
     """
     d, t = metric.shape
     body = jnp.where(row_valid[:, None] & col_valid[None, :], metric, 0.0)

@@ -18,9 +18,10 @@ from . import geometry as geo
 
 
 @partial(jax.jit, static_argnames=("oriented", "neighbors"))
-def nms_kernel(boxes: jax.Array, ranks: jax.Array, valid: jax.Array,
+def nms_kernel(boxes: jax.Array, valid: jax.Array,
                nms_threshold, oriented: bool = True, neighbors: int = -1):
     """boxes[N,5] already rank-sorted descending; returns keep mask [N].
+    (Rank order IS the positional order — the caller sorts.)
 
     suppress[i, j] (i before j in rank order): intersection(i, j)/area(j)
     > threshold — the reference's asymmetric overlap criterion (`nms.rs:60-63`).
@@ -39,7 +40,10 @@ def nms_kernel(boxes: jax.Array, ranks: jax.Array, valid: jax.Array,
     if neighbors < 0:
         neighbors = 0
     if oriented and 0 < neighbors < n:
-        inter = geo.rotated_intersection_topk(boxes, boxes, neighbors)
+        # +1: the self-pair (distance 0) always occupies one top-k slot on
+        # the a == b route, so k genuine partners need k+1 slots
+        inter = geo.rotated_intersection_topk(boxes, boxes,
+                                              min(neighbors + 1, n))
     elif oriented:
         inter = geo.rotated_intersection(boxes[:, None, :], boxes[None, :, :])
     else:

@@ -259,8 +259,6 @@ def _kernel(cfg: SortConfig, c_frames: int,
         oh_w = oh * safe_f  # write side (zeroed on overflow)
         # gather prev state rows: [D,T] @ [T,5]
         g = lambda a: jnp.dot(oh, a, preferred_element_type=jnp.float32)
-        gv = lambda a: jnp.dot(oh, a[:, None],
-                               preferred_element_type=jnp.float32)[:, 0]
         # integer by-slot read (ids/lengths exact beyond 2^24)
         gi = lambda a: jnp.sum(jnp.where(oh_b, a[None, :], 0), axis=1)
 
@@ -429,6 +427,7 @@ def compiled_pallas_sort_scan(cfg: SortConfig, chunk: int, interpret: bool = Fal
     def run(state: SortState, det_box, det_conf, det_valid, epoch0):
         s, d, _ = det_box.shape
         assert s % chunk == 0, "steps must be a multiple of the chunk size"
+        assert state.history == 1, "fused kernel supports history depth 1"
         t = state.capacity
         call = pallas_sort_chunk(cfg, chunk, d, t, interpret)
 

@@ -22,7 +22,6 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..trackers.visual_state import VisualState
-from .mesh import SCENE_AXIS
 
 
 def _local_topk_scores(
@@ -67,15 +66,26 @@ def global_gallery_query(cfg_kind: str, k: int, mesh: Mesh):
     of the global top-k, merged from per-shard candidates via all_gather.
     """
 
+    # scenes shard over EVERY mesh axis (1-D scene mesh or 2-D pod mesh,
+    # `mesh.pod_scene_spec`); the gather rides all of them
+    axes = tuple(mesh.axis_names)
+
     def local(state, queries):
         scores, scene, tids = _local_topk_scores(state, queries, k, cfg_kind)
-        my = jax.lax.axis_index(SCENE_AXIS)
+        my = jnp.int32(0)
+        for a in axes:  # row-major linear shard index (handoff._my_shard)
+            my = my * mesh.shape[a] + jax.lax.axis_index(a).astype(jnp.int32)
         shard = jnp.full(scores.shape, my, jnp.int32)
         # gather per-shard top-k candidate sets: [n_shards, Q, k]
-        all_scores = jax.lax.all_gather(scores, SCENE_AXIS)
-        all_scene = jax.lax.all_gather(scene, SCENE_AXIS)
-        all_tids = jax.lax.all_gather(tids, SCENE_AXIS)
-        all_shard = jax.lax.all_gather(shard, SCENE_AXIS)
+        def gather(x):
+            for a in reversed(axes):
+                x = jax.lax.all_gather(x, a)
+            return x.reshape((-1,) + x.shape[len(axes):])
+
+        all_scores = gather(scores)
+        all_scene = gather(scene)
+        all_tids = gather(tids)
+        all_shard = gather(shard)
         n = all_scores.shape[0]
         q = scores.shape[0]
         flat = all_scores.transpose(1, 0, 2).reshape(q, n * k)
@@ -88,7 +98,7 @@ def global_gallery_query(cfg_kind: str, k: int, mesh: Mesh):
     mapped = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(P(SCENE_AXIS), P()),
+        in_specs=(P(axes), P()),
         out_specs=(P(), P(), P(), P()),
         check_vma=False,
     )

@@ -270,7 +270,15 @@ def track_merge(mesh: Mesh) -> callable:
     Gallery union keeps the top-K by quality out of the 2K candidate features
     (`visual_sort/metric.rs:129-154` eviction rule); `collected` and `length`
     accumulate; `last_epoch` is NOT touched (the destination's scene clock is
-    unrelated to the source's).  `success[m]` requires both rows to exist.
+    unrelated to the source's).
+
+    `success[m]` requires both rows to exist AND the batch entry to be
+    independent: entries whose source or destination identity is duplicated
+    within the batch, chains (one entry's destination is another's source),
+    and self-merges all FAIL (success=False, state untouched for them) —
+    last-writer-wins on a shared destination would silently drop a gallery,
+    and deactivating a chained row would corrupt the other merge.  Retry
+    failed entries in a later batch.
     """
 
     axes = _mesh_axes(mesh)
@@ -287,7 +295,18 @@ def track_merge(mesh: Mesh) -> callable:
         dst_found = jax.lax.psum(
             jnp.any(dst_oh, axis=(1, 2)).astype(jnp.int32), axes
         ) > 0
-        success = src_found & dst_found
+        # independence guard (see docstring): duplicated sources or
+        # destinations and cross-entry chains fail rather than corrupt
+        eq_d = ((dst_scene[:, None] == dst_scene[None, :])
+                & (dst_id[:, None] == dst_id[None, :]))
+        eq_s = ((src_scene[:, None] == src_scene[None, :])
+                & (src_id[:, None] == src_id[None, :]))
+        unique = ((jnp.sum(eq_d, axis=1) == 1)
+                  & (jnp.sum(eq_s, axis=1) == 1))
+        chain = ((dst_scene[:, None] == src_scene[None, :])
+                 & (dst_id[:, None] == src_id[None, :]))
+        indep = ~jnp.any(chain, axis=1) & ~jnp.any(chain.T, axis=1)
+        success = src_found & dst_found & unique & indep
 
         src = jax.tree.map(lambda l: _psum_leaf(l, axes), _extract(state, src_oh))
         dst = jax.tree.map(lambda l: _psum_leaf(l, axes), _extract(state, dst_oh))

@@ -59,36 +59,68 @@ def pod_scene_spec() -> P:
     return P((HOST_AXIS, DEVICE_AXIS))
 
 
-def pod_sharded_sort_scan(cfg: SortConfig, mesh: Mesh):
-    """`sharded_sort_scan` over a 2-D pod mesh: per-device frame loops,
-    psum over both axes for global stats."""
-    vstep = batched_sort_step(cfg)
-    axes = (HOST_AXIS, DEVICE_AXIS)
+def _sharded_tracker_scan(vstep, mesh: Mesh, n_streams: int):
+    """Shared builder for the pod-scale scan pipelines: scan(vmap(step))
+    inside shard_map on ANY mesh (1-D scene mesh or 2-D (hosts, devices)
+    pod mesh — scenes shard over every mesh axis, `pod_scene_spec`).
 
-    def local(states, det_box, det_conf, det_valid, epochs0):
+    Per-device frame loops with zero cross-device traffic; two psums reduce
+    the global new-track and overflow counters — the communication profile
+    the scaling plan calls for.  Returns (states, ids, total_new,
+    total_overflow).
+    """
+    axes = tuple(mesh.axis_names)
+    entry = axes if len(axes) > 1 else axes[0]
+    spec = P(entry)
+
+    def local(states, *streams_and_epochs):
+        streams, epochs0 = streams_and_epochs[:-1], streams_and_epochs[-1]
+
         def body(st, inp):
-            box, conf, valid, i = inp
-            st, out = vstep(st, box, conf, valid, epochs0 + i)
+            *inps, i = inp
+            st, out = vstep(st, *inps, epochs0 + i)
             return st, (out.track_id, out.is_new, out.overflow)
 
-        steps = det_box.shape[0]
+        steps = streams[0].shape[0]
         idx = jnp.arange(steps, dtype=jnp.int32)
         states, (ids, is_new, ovf) = jax.lax.scan(
-            body, states, (det_box, det_conf, det_valid, idx)
+            body, states, (*streams, idx)
         )
         total_new = jax.lax.psum(jnp.sum(is_new.astype(jnp.int32)), axes)
         total_ovf = jax.lax.psum(jnp.sum(ovf.astype(jnp.int32)), axes)
         return states, ids, total_new, total_ovf
 
-    spec = pod_scene_spec()
     mapped = jax.shard_map(
         local,
         mesh=mesh,
-        in_specs=(spec, P(None, *spec), P(None, *spec), P(None, *spec), spec),
-        out_specs=(spec, P(None, *spec), P(), P()),
+        in_specs=(spec,) + (P(None, entry),) * n_streams + (spec,),
+        out_specs=(spec, P(None, entry), P(), P()),
+        # the auction solver builds fresh (unvarying) carries inside the
+        # body; skip the varying-manual-axes check rather than pcast them
         check_vma=False,
     )
     return jax.jit(mapped, donate_argnums=(0,))
+
+
+def sharded_sort_scan(cfg: SortConfig, mesh: Mesh):
+    """Pod-scale SORT pipeline (see _sharded_tracker_scan).
+
+    stream shapes: det_box[S_frames, scenes, D, 5], det_conf/valid
+    [S_frames, scenes, D], epochs0[scenes]."""
+    return _sharded_tracker_scan(batched_sort_step(cfg), mesh, 3)
+
+
+def pod_sharded_sort_scan(cfg: SortConfig, mesh: Mesh):
+    """Alias kept for API stability: `sharded_sort_scan` handles any mesh."""
+    return sharded_sort_scan(cfg, mesh)
+
+
+def sharded_visual_scan(cfg: VisualConfig, mesh: Mesh):
+    """Pod-scale VisualSORT pipeline (see _sharded_tracker_scan).
+
+    stream shapes as `batched_visual_scan` with the scene axis sharded;
+    works on 1-D and 2-D pod meshes alike."""
+    return _sharded_tracker_scan(batched_visual_step(cfg), mesh, 7)
 
 
 def batched_sort_step(cfg: SortConfig):
@@ -230,8 +262,8 @@ def batched_visual_scan(cfg: VisualConfig):
     """Device pipeline over frames for a batch of scenes (VisualSORT).
 
     stream shapes: box[S, SC, D, 5], conf/valid/fvalid/qual/oa[S, SC, D],
-    feat[S, SC, D, F], epochs0[SC].  Returns (states, (track_id, voting_type))
-    stacked [S, SC, D].
+    feat[S, SC, D, F], epochs0[SC].  Returns
+    (states, (track_id, voting_type, overflow)) stacked over frames.
     """
     vstep = batched_visual_step(cfg)
 
@@ -248,83 +280,6 @@ def batched_visual_scan(cfg: VisualConfig):
         )
 
     return scan_fn
-
-
-def sharded_sort_scan(cfg: SortConfig, mesh: Mesh):
-    """Pod-scale pipeline: scan(vmap(step)) running inside shard_map.
-
-    Scenes sharded over the mesh; each device scans its local scene block over
-    the whole frame stream with zero cross-device traffic, then a single psum
-    reduces the per-device new-track counters — the communication profile the
-    scaling plan calls for (compute on ICI-local data, collectives only for
-    metrics).
-    """
-    vstep = batched_sort_step(cfg)
-
-    def local(states, det_box, det_conf, det_valid, epochs0):
-        def body(st, inp):
-            box, conf, valid, i = inp
-            st, out = vstep(st, box, conf, valid, epochs0 + i)
-            return st, (out.track_id, out.is_new, out.overflow)
-
-        steps = det_box.shape[0]
-        idx = jnp.arange(steps, dtype=jnp.int32)
-        states, (ids, is_new, ovf) = jax.lax.scan(
-            body, states, (det_box, det_conf, det_valid, idx)
-        )
-        total_new = jax.lax.psum(jnp.sum(is_new.astype(jnp.int32)), SCENE_AXIS)
-        total_ovf = jax.lax.psum(jnp.sum(ovf.astype(jnp.int32)), SCENE_AXIS)
-        return states, ids, total_new, total_ovf
-
-    mapped = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(
-            P(SCENE_AXIS),  # states (scene axis leading)
-            P(None, SCENE_AXIS),  # det_box [S_frames, scenes, D, 5]
-            P(None, SCENE_AXIS),
-            P(None, SCENE_AXIS),
-            P(SCENE_AXIS),  # epochs0
-        ),
-        out_specs=(P(SCENE_AXIS), P(None, SCENE_AXIS), P(), P()),
-        check_vma=False,
-    )
-    return jax.jit(mapped, donate_argnums=(0,))
-
-
-def sharded_visual_scan(cfg: VisualConfig, mesh: Mesh):
-    """Pod-scale VisualSORT pipeline: scan(vmap(step)) inside shard_map.
-
-    Same communication profile as `sharded_sort_scan`: scenes sharded over
-    the mesh axis, zero cross-device traffic in the frame loop, one psum for
-    the global new-track counter.  Stream shapes as `batched_visual_scan`
-    with the scene axis sharded.
-    """
-    vstep = batched_visual_step(cfg)
-
-    def local(states, box, conf, valid, feat, fvalid, qual, oa, epochs0):
-        def body(st, inp):
-            b, c, v, fe, fv, q, o, i = inp
-            st, out = vstep(st, b, c, v, fe, fv, q, o, epochs0 + i)
-            return st, (out.track_id, out.is_new, out.overflow)
-
-        steps = box.shape[0]
-        idx = jnp.arange(steps, dtype=jnp.int32)
-        states, (ids, is_new, ovf) = jax.lax.scan(
-            body, states, (box, conf, valid, feat, fvalid, qual, oa, idx)
-        )
-        total_new = jax.lax.psum(jnp.sum(is_new.astype(jnp.int32)), SCENE_AXIS)
-        total_ovf = jax.lax.psum(jnp.sum(ovf.astype(jnp.int32)), SCENE_AXIS)
-        return states, ids, total_new, total_ovf
-
-    mapped = jax.shard_map(
-        local,
-        mesh=mesh,
-        in_specs=(P(SCENE_AXIS),) + (P(None, SCENE_AXIS),) * 7 + (P(SCENE_AXIS),),
-        out_specs=(P(SCENE_AXIS), P(None, SCENE_AXIS), P(), P()),
-        check_vma=False,
-    )
-    return jax.jit(mapped, donate_argnums=(0,))
 
 
 def sharded_visual_step(cfg: VisualConfig, mesh: Mesh):

@@ -48,11 +48,9 @@ def nms(
     while npad < n:
         npad *= 2
     boxes = np.zeros((npad, 5), np.float32)
-    ranks = np.zeros((npad,), np.float32)
     valid = np.zeros((npad,), bool)
-    for i, (rank, bb) in enumerate(cands):
+    for i, (_rank, bb) in enumerate(cands):
         boxes[i] = bb.to_vec5()
-        ranks[i] = rank
         valid[i] = True
 
     # static per-call oriented flag (like the Sort API's auto-flip): the
@@ -60,7 +58,7 @@ def nms(
     oriented = bool(np.any(boxes[:, 2] != 0.0))
     keep = np.asarray(
         nms_kernel(
-            jnp.asarray(boxes), jnp.asarray(ranks), jnp.asarray(valid),
+            jnp.asarray(boxes), jnp.asarray(valid),
             jnp.float32(nms_threshold), oriented,
         )
     )[:n]

@@ -243,7 +243,7 @@ def test_nms_pruned_matches_dense_oriented():
     bj = jnp.asarray(b[order])
     rj = jnp.asarray(ranks[order])
     valid = jnp.ones((n,), bool)
-    keep_dense = nms_kernel(bj, rj, valid, jnp.float32(0.7), True, 0)
-    keep_prune = nms_kernel(bj, rj, valid, jnp.float32(0.7), True, 32)
+    keep_dense = nms_kernel(bj, valid, jnp.float32(0.7), True, 0)
+    keep_prune = nms_kernel(bj, valid, jnp.float32(0.7), True, 32)
     np.testing.assert_array_equal(np.asarray(keep_prune),
                                   np.asarray(keep_dense))

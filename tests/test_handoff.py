@@ -278,3 +278,44 @@ def test_merge_on_2d_pod_mesh():
         sorted(qual.tolist(), reverse=True), [0.9, 0.5, 0.4], rtol=1e-6
     )
     assert np.asarray(state2.track_id)[15, 2] == 22
+
+
+def test_merge_rejects_conflicting_batches():
+    """Regression (round-3 review): duplicated destinations/sources, chains
+    and self-merges must FAIL loudly (success=False, state untouched) instead
+    of last-writer-wins gallery loss and corrupted deactivation."""
+    mesh = scene_mesh()
+    s, t, k, f = 8, 4, 2, 8
+    rng = np.random.default_rng(9)
+    state = new_batched_visual_state(s, t, 2, k, f)
+    for scene in range(8):
+        state = _populate_visual(state, scene, 0, 10 + scene, [0.5], rng,
+                                 10.0 * (scene + 1))
+    state = shard_batched_state(state, mesh)
+    merge = track_merge(mesh)
+    m = lambda v: jnp.asarray(v, jnp.int32)
+    act_before = np.asarray(state.active).copy()
+
+    # two sources into ONE destination -> both entries fail
+    st2, ok = merge(state, m([0, 1]), m([10, 11]), m([2, 2]), m([12, 12]))
+    assert not bool(np.asarray(ok).any())
+    np.testing.assert_array_equal(np.asarray(st2.active), act_before)
+
+    # self-merge -> fails
+    st3, ok3 = merge(st2, m([3]), m([13]), m([3]), m([13]))
+    assert not bool(np.asarray(ok3).any())
+    np.testing.assert_array_equal(np.asarray(st3.active), act_before)
+
+    # chain (A->B and B->C in one batch) -> both fail
+    st4, ok4 = merge(st3, m([4, 5]), m([14, 15]), m([5, 6]), m([15, 16]))
+    assert not bool(np.asarray(ok4).any())
+    np.testing.assert_array_equal(np.asarray(st4.active), act_before)
+
+    # an independent entry alongside a duplicated-source pair still works
+    st5, ok5 = merge(st4, m([0, 1, 1]), m([10, 11, 11]),
+                     m([7, 2, 3]), m([17, 12, 13]))
+    ok5 = np.asarray(ok5)
+    assert bool(ok5[0]) and not ok5[1] and not ok5[2]
+    active5 = np.asarray(st5.active)
+    assert not active5[0, 0]  # entry 0 landed: source freed
+    assert active5[1, 0]      # duplicated source untouched

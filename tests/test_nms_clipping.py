@@ -121,7 +121,7 @@ def test_native_nms_matches_device_kernel():
             bs = b[order]
             keep_host = native.nms_host(bs, 0.6, oriented)
             keep_dev = np.asarray(nms_kernel(
-                jnp.asarray(bs), jnp.asarray(ranks[order]),
+                jnp.asarray(bs),
                 jnp.ones((n,), bool), jnp.float32(0.6), oriented))
             np.testing.assert_array_equal(keep_host, keep_dev,
                                           err_msg=f"oriented={oriented} n={n}")

@@ -68,3 +68,38 @@ def test_sharded_visual_step_and_gallery_query():
     global_scene = int(np.asarray(shard)[0, 0]) * n_local + best_scene
     assert global_scene == 5
     assert float(np.asarray(scores)[0, 0]) > 0.99
+
+
+def test_gallery_query_on_pod_mesh():
+    """Regression (round-3 review): global_gallery_query hardcoded the 1-D
+    scene axis and failed to trace on the 2-D (hosts x devices) pod mesh."""
+    import dataclasses
+
+    from similari_tpu.parallel import (
+        global_gallery_query,
+        new_batched_visual_state,
+        pod_mesh,
+        pod_scene_spec,
+    )
+
+    mesh = pod_mesh(2, 4)
+    scenes, t, k, f = 8, 4, 2, 16
+    rng = np.random.default_rng(3)
+    states = new_batched_visual_state(scenes, t, 1, k, f)
+    states = dataclasses.replace(
+        states,
+        feats=jnp.asarray(rng.normal(size=states.feats.shape
+                                     ).astype(np.float32)),
+        feat_valid=jnp.ones(states.feat_valid.shape, bool),
+        active=jnp.ones(states.active.shape, bool),
+        track_id=jnp.arange(scenes * t, dtype=jnp.int32).reshape(scenes, t),
+    )
+    states = jax.device_put(
+        states, jax.sharding.NamedSharding(mesh, pod_scene_spec()))
+    qfn = global_gallery_query("cosine", 4, mesh)
+    # query = an exact stored feature: the global top-1 must find it
+    target = np.asarray(states.feats)[5, 2, 1]
+    scores, shard, scene, tid = qfn(states, jnp.asarray(target[None]))
+    assert float(scores[0, 0]) > 0.999
+    found = int(tid[0, 0])
+    assert found == int(np.asarray(states.track_id)[5, 2])
