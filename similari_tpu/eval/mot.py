@@ -18,6 +18,7 @@ import numpy as np
 from ..trackers import PositionalMetricType, Sort
 from ..trackers.sort_step import SortConfig, compiled_sort_scan
 from ..trackers.state import new_sort_state
+from ..utils.pad import pad_pow2 as _pad_pow2
 
 Detections = Dict[int, List[Tuple[float, float, float, float, float]]]
 
@@ -73,9 +74,17 @@ def vec5_to_ltwh(v: np.ndarray) -> np.ndarray:
 def run_sequence_interactive(
     tracker: Sort, detections: Detections
 ) -> Dict[int, List[Tuple[int, float, float, float, float]]]:
-    """Frame-by-frame run via the interactive array API."""
+    """Frame-by-frame run via the interactive array API.
+
+    Frame-number gaps advance the epoch clock (`skip_epochs`) so idle aging
+    matches a run that steps every frame.
+    """
     out: Dict[int, List] = {}
+    prev = None
     for frame in sorted(detections):
+        if prev is not None and frame - prev > 1:
+            tracker.skip_epochs_for_scene(0, int(frame - prev - 1))
+        prev = frame
         dets = np.asarray(detections[frame], np.float32)
         boxes = ltwh_to_vec5(dets)
         confs = np.clip(dets[:, 4], 0.0, 1.0).astype(np.float32)
@@ -84,6 +93,51 @@ def run_sequence_interactive(
         out[frame] = [
             (int(ids[i]), *map(float, ltwh[i])) for i in range(len(ids))
         ]
+    return out
+
+
+def _epochs_of(frames) -> np.ndarray:
+    """Per-frame epochs = the actual frame numbers, rebased to start at 1.
+
+    Using real frame numbers (not the stream index) makes empty-frame GAPS
+    age tracks exactly like stepping every frame would — `max_idle_epochs`
+    is defined in epochs (`epoch_db.rs:51-65`), and a 10-frame gap must be
+    10 epochs, not 1.
+    """
+    f = np.asarray(frames, np.int64)
+    return (f - f[0] + 1).astype(np.int32)
+
+
+def _expand_gaps(frames, arrays):
+    """Expand a frame-compressed stream to the dense frame range by inserting
+    all-invalid rows for missing frames (for engines that require
+    consecutive epochs, e.g. the fused Pallas scans).  Returns
+    (dense_index_of_frame[S], expanded arrays)."""
+    f = np.asarray(frames, np.int64)
+    span = int(f[-1] - f[0] + 1)
+    if span == len(f):
+        return np.arange(len(f)), arrays
+    if span > 8 * len(f) + 4096:
+        raise ValueError(
+            f"frame range {span} is far sparser than the {len(f)} detection "
+            "frames; use engine=\"xla\" (per-frame epochs) instead of gap "
+            "expansion")
+    pos = (f - f[0]).astype(np.int64)
+    out = []
+    for a in arrays:
+        e = np.zeros((span,) + a.shape[1:], a.dtype)
+        e[pos] = a
+        out.append(e)
+    return pos, out
+
+
+def _assemble_outputs(frames, valid, box, pred, ids, report_observed):
+    out: Dict[int, List] = {}
+    for s, f in enumerate(frames):
+        n = int(valid[s].sum())
+        src = box[s, :n] if report_observed else pred[s, :n]
+        ltwh = vec5_to_ltwh(src)
+        out[f] = [(int(ids[s, i]), *map(float, ltwh[i])) for i in range(n)]
     return out
 
 
@@ -139,10 +193,9 @@ def run_sequence_device(
     else:
         frames = sorted(detections)
         steps = len(frames)
-        dmax = max(len(detections[f]) for f in frames)
-        dpad = 8
-        while dpad < dmax:
-            dpad *= 2
+        if steps == 0:
+            return {}, 0.0
+        dpad = _pad_pow2(max(len(detections[f]) for f in frames))
         box = np.zeros((steps, dpad, 5), np.float32)
         conf = np.zeros((steps, dpad), np.float32)
         valid = np.zeros((steps, dpad), bool)
@@ -152,6 +205,8 @@ def run_sequence_device(
             box[s, :n] = ltwh_to_vec5(dets)
             conf[s, :n] = np.clip(dets[:, 4], 0.0, 1.0)
             valid[s, :n] = True
+    if steps == 0:
+        return {}, 0.0
 
     cfg = SortConfig(
         method=method,
@@ -167,14 +222,16 @@ def run_sequence_device(
 
         from ..ops.pallas_sort import compiled_pallas_sort_scan
 
-        chunk = min(16, steps) if steps % 16 else 16
-        pad = (-steps) % chunk
+        # the fused kernel's epoch clock is consecutive: expand frame GAPS
+        # into all-invalid rows so idle aging matches real frame numbers
+        pos, (box2, conf2, valid2) = _expand_gaps(frames, (box, conf, valid))
+        span = len(box2)
+        chunk = min(16, span) if span % 16 else 16
+        pad = (-span) % chunk
         if pad:
             z = lambda a: np.concatenate(
                 [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
-            box2, conf2, valid2 = z(box), z(conf), z(valid)
-        else:
-            box2, conf2, valid2 = box, conf, valid
+            box2, conf2, valid2 = z(box2), z(conf2), z(valid2)
         scan = compiled_pallas_sort_scan(
             cfg, chunk, interpret=jax.default_backend() == "cpu")
         args = (jnp.asarray(box2), jnp.asarray(conf2), jnp.asarray(valid2),
@@ -182,37 +239,25 @@ def run_sequence_device(
         compiled = scan.lower(state, *args).compile()
         t0 = time.perf_counter()
         state, (kids, _slots, kpred, kovf) = compiled(state, *args)
-        ids = np.asarray(kids)[:steps]
+        ids = np.asarray(kids)[pos]
         fps = steps / (time.perf_counter() - t0)
-        _check_overflow(np.asarray(kovf)[:steps], capacity)
-        pred = np.asarray(kpred)[:steps]
-        out: Dict[int, List] = {}
-        for s, f in enumerate(frames):
-            n = int(valid[s].sum())
-            src = box[s, :n] if report_observed else pred[s, :n]
-            ltwh = vec5_to_ltwh(src)
-            out[f] = [(int(ids[s, i]), *map(float, ltwh[i])) for i in range(n)]
-        return out, fps
-
-    scan = compiled_sort_scan(cfg)
-    bj, cj, vj = jnp.asarray(box), jnp.asarray(conf), jnp.asarray(valid)
-    # AOT-compile so the timed run (fresh state, correct outputs) excludes it
-    compiled = scan.lower(state, bj, cj, vj, jnp.int32(1)).compile()
-    t0 = time.perf_counter()
-    state, outs = compiled(state, bj, cj, vj, jnp.int32(1))
-    # real d2h fetch: block_until_ready can return before execution on the
-    # axon dev-TPU relay (ARCHITECTURE.md §6)
-    ids = np.asarray(outs.track_id)
-    fps = steps / (time.perf_counter() - t0)
-    _check_overflow(outs.overflow, capacity)
-
-    pred = np.asarray(outs.pred_box)
-    out: Dict[int, List] = {}
-    for s, f in enumerate(frames):
-        n = int(valid[s].sum())
-        src = box[s, :n] if report_observed else pred[s, :n]
-        ltwh = vec5_to_ltwh(src)
-        out[f] = [(int(ids[s, i]), *map(float, ltwh[i])) for i in range(n)]
+        _check_overflow(np.asarray(kovf)[:span], capacity)
+        pred = np.asarray(kpred)[pos]
+    else:
+        scan = compiled_sort_scan(cfg)
+        bj, cj, vj = jnp.asarray(box), jnp.asarray(conf), jnp.asarray(valid)
+        epochs = jnp.asarray(_epochs_of(frames))  # gaps age tracks
+        # AOT-compile so the timed run (fresh state) excludes it
+        compiled = scan.lower(state, bj, cj, vj, epochs).compile()
+        t0 = time.perf_counter()
+        state, outs = compiled(state, bj, cj, vj, epochs)
+        # real d2h fetch: block_until_ready can return before execution on
+        # the axon dev-TPU relay (ARCHITECTURE.md §6)
+        ids = np.asarray(outs.track_id)
+        fps = steps / (time.perf_counter() - t0)
+        _check_overflow(outs.overflow, capacity)
+        pred = np.asarray(outs.pred_box)
+    out = _assemble_outputs(frames, valid, box, pred, ids, report_observed)
     return out, fps
 
 
@@ -247,14 +292,13 @@ def run_sequence_device_visual(
 
     frames = sorted(detections)
     steps = len(frames)
-    dmax = max(len(detections[f]) for f in frames)
+    if steps == 0:
+        return {}, 0.0
     fdim = max(
         (len(x) for f in frames for x in features.get(f, []) if x is not None),
         default=1,
     )
-    dpad = 8
-    while dpad < dmax:
-        dpad *= 2
+    dpad = _pad_pow2(max(len(detections[f]) for f in frames))
     box = np.zeros((steps, dpad, 5), np.float32)
     conf = np.zeros((steps, dpad), np.float32)
     valid = np.zeros((steps, dpad), bool)
@@ -289,16 +333,18 @@ def run_sequence_device_visual(
     if engine == "pallas":
         from ..ops.pallas_visual import compiled_pallas_visual_scan
 
-        chunk = min(16, steps) if steps % 16 else 16
-        pad = (-steps) % chunk  # pad with all-invalid trailing frames
+        # consecutive-epoch kernel: expand frame GAPS into invalid rows so
+        # idle aging matches real frame numbers
+        pos, (box2, conf2, valid2, feat2, fvalid2, qual2, oa2) = _expand_gaps(
+            frames, (box, conf, valid, feat, fvalid, qual, oa))
+        span = len(box2)
+        chunk = min(16, span) if span % 16 else 16
+        pad = (-span) % chunk  # pad with all-invalid trailing frames
         if pad:
             z = lambda a: np.concatenate(
                 [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
-            box2, conf2, valid2 = z(box), z(conf), z(valid)
-            feat2, fvalid2, qual2, oa2 = z(feat), z(fvalid), z(qual), z(oa)
-        else:
-            box2, conf2, valid2 = box, conf, valid
-            feat2, fvalid2, qual2, oa2 = feat, fvalid, qual, oa
+            box2, conf2, valid2 = z(box2), z(conf2), z(valid2)
+            feat2, fvalid2, qual2, oa2 = z(feat2), z(fvalid2), z(qual2), z(oa2)
         # Mosaic kernels need interpret mode on the CPU backend (tests)
         scan = compiled_pallas_visual_scan(
             cfg, chunk, interpret=jax.default_backend() == "cpu")
@@ -315,14 +361,15 @@ def run_sequence_device_visual(
         ids_all = np.asarray(kids)
         fps = steps / (time.perf_counter() - t0)
         _check_overflow(ovf, capacity)
-        ids = ids_all[:steps]
-        pred = np.asarray(kpred)[:steps]
+        ids = ids_all[pos]
+        pred = np.asarray(kpred)[pos]
     else:
         scan = compiled_visual_scan(cfg)
+        epochs = jnp.asarray(_epochs_of(frames))  # gaps age tracks
         args = (
             jnp.asarray(box), jnp.asarray(conf), jnp.asarray(valid),
             jnp.asarray(feat), jnp.asarray(fvalid), jnp.asarray(qual),
-            jnp.asarray(oa), jnp.int32(1),
+            jnp.asarray(oa), epochs,
         )
         compiled = scan.lower(state, *args).compile()
         t0 = time.perf_counter()
@@ -331,10 +378,5 @@ def run_sequence_device_visual(
         fps = steps / (time.perf_counter() - t0)
         _check_overflow(outs.overflow, capacity)
         pred = np.asarray(outs.pred_box)
-    out: Dict[int, List] = {}
-    for s, f in enumerate(frames):
-        n = int(valid[s].sum())
-        src = box[s, :n] if report_observed else pred[s, :n]
-        ltwh = vec5_to_ltwh(src)
-        out[f] = [(int(ids[s, i]), *map(float, ltwh[i])) for i in range(n)]
-    return out, fps
+    return _assemble_outputs(frames, valid, box, pred, ids,
+                             report_observed), fps

@@ -115,7 +115,10 @@ def load_config(config_file_path) -> KitConfig:
             threshold=float(evaluator.get("threshold", 0.5))
         ),
     )
-    cfg.make_tracker()  # validate tracker type + params eagerly
+    # validate tracker type AND params eagerly: construct one tracker (cheap
+    # — nothing compiles until the first predict) so a typoed param fails at
+    # config-load time, not mid-evaluation
+    cfg.make_tracker()()
     return cfg
 
 

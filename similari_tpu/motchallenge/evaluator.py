@@ -21,6 +21,8 @@ from .trackers import Tracker
 def run_sequence(tracker: Tracker, detections) -> Dict[int, List]:
     out: Dict[int, List] = {}
     frames = sorted(detections)
+    if not frames:  # empty det file: nothing to track, nothing to crash on
+        return out
     lo, hi = frames[0], frames[-1]
     for frame in range(lo, hi + 1):
         rows = tracker.process_frame(frame, detections.get(frame, []))

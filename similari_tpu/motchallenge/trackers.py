@@ -11,6 +11,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
+from ..utils.bbox import BoundingBox
 from ..eval.mot import ltwh_to_vec5, vec5_to_ltwh
 from ..trackers import PositionalMetricType, Sort
 from ..trackers.visual import (
@@ -112,8 +113,6 @@ class SimilariTPUVisualSort(Tracker):
         obs = VisualSortObservationSet()
         for i, det in enumerate(detections):
             l, t, w, h, conf = det
-            from ..utils.bbox import BoundingBox
-
             bb = BoundingBox.new_with_confidence(
                 l, t, w, h, float(np.clip(conf, 0.0, 1.0))
             ).as_xyaah()

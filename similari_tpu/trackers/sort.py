@@ -140,11 +140,7 @@ class _SceneStore:
             )
 
 
-def _pad_pow2(n: int, lo: int = 8) -> int:
-    p = lo
-    while p < n:
-        p *= 2
-    return p
+from ..utils.pad import pad_pow2 as _pad_pow2  # single shared helper
 
 
 def _box_from_row(row: np.ndarray, conf: float) -> Universal2DBox:

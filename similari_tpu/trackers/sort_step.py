@@ -244,23 +244,29 @@ def sort_scan(
     det_box: jax.Array,  # [S, D, 5] frame-major detection stream
     det_conf: jax.Array,  # [S, D]
     det_valid: jax.Array,  # [S, D]
-    epoch0: jax.Array,  # scalar int32: epoch of the first frame
+    epoch0: jax.Array,  # scalar int32 (first epoch, consecutive frames) OR
+    #                     int32[S] per-frame epochs (gaps advance the clock)
 ) -> Tuple[SortState, StepOutput]:
     """Device-resident tracking pipeline: scan the step over S frames.
 
     One h2d for the whole stream, one d2h for all outputs — this is how a
     production deployment runs (detections arrive from an on-device detector),
     and how throughput benchmarks are measured.  Outputs are stacked [S, D].
+
+    Passing per-frame epochs (e.g. the MOT frame numbers) makes empty-frame
+    gaps age tracks exactly like stepping every frame would
+    (`epoch_db.rs:51-65` idle semantics depend on epoch deltas).
     """
 
     def body(st, inp):
-        box, conf, valid, i = inp
-        st, out = sort_step(cfg, st, box, conf, valid, epoch0 + i)
+        box, conf, valid, e = inp
+        st, out = sort_step(cfg, st, box, conf, valid, e)
         return st, out
 
     steps = det_box.shape[0]
     idx = jnp.arange(steps, dtype=jnp.int32)
-    return jax.lax.scan(body, state, (det_box, det_conf, det_valid, idx))
+    epochs = epoch0 + idx if jnp.ndim(epoch0) == 0 else epoch0
+    return jax.lax.scan(body, state, (det_box, det_conf, det_valid, epochs))
 
 
 @lru_cache(maxsize=None)

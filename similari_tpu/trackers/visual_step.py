@@ -375,19 +375,21 @@ def visual_scan(
     """Device-resident pipeline over a frame stream (shapes [S, D, ...])."""
 
     def body(st, inp):
-        box, conf, valid, feat, fvalid, qual, oa, i = inp
+        box, conf, valid, feat, fvalid, qual, oa, e = inp
         st, out = visual_step(
-            cfg, st, box, conf, valid, feat, fvalid, qual, oa, epoch0 + i
+            cfg, st, box, conf, valid, feat, fvalid, qual, oa, e
         )
         return st, out
 
     steps = det_box.shape[0]
     idx = jnp.arange(steps, dtype=jnp.int32)
+    # epoch0: scalar (consecutive frames) or int32[S] per-frame epochs
+    epochs = epoch0 + idx if jnp.ndim(epoch0) == 0 else epoch0
     return jax.lax.scan(
         body,
         state,
         (det_box, det_conf, det_valid, det_feat, det_feat_valid, det_quality,
-         det_own_area, idx),
+         det_own_area, epochs),
     )
 
 

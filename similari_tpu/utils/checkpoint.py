@@ -43,6 +43,7 @@ def save_tracker(tracker, path):
                 "scene_id": scene_id,
                 "n_leaves": len(leaves),
                 "active_count": store.active_count,
+                "oriented": bool(store.oriented),
             }
         )
     blobs["meta"] = np.frombuffer(
@@ -75,6 +76,13 @@ def load_tracker(tracker, path):
         store.custom_ids = data[f"{prefix}_custom_ids"].copy()
         store.has_custom = data[f"{prefix}_has_custom"].copy()
         store.active_count = int(scene["active_count"])
+        # sticky rotated-box flag must survive the round trip, or restored
+        # rotated tracks would silently run the axis-aligned kernel
+        store.oriented = bool(scene.get("oriented", False))
+        # loaded leaves are device arrays: reset any host-engine residue so
+        # the next predict converts/rebuilds cleanly
+        store.host = False
+        store.session = None
         if hasattr(store.state, "feats") and hasattr(tracker, "_feature_dim"):
             tracker._feature_dim = int(store.state.feats.shape[-1])
     return tracker

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.nms import nms_kernel
+from .pad import pad_pow2
 from .bbox import Universal2DBox
 
 
@@ -44,9 +45,7 @@ def nms(
         if keep is not None:
             return [bb for (m, (_, bb)) in zip(keep, cands) if m]
 
-    npad = 8
-    while npad < n:
-        npad *= 2
+    npad = pad_pow2(n)
     boxes = np.zeros((npad, 5), np.float32)
     valid = np.zeros((npad,), bool)
     for i, (_rank, bb) in enumerate(cands):

@@ -88,3 +88,35 @@ def test_step_timer():
     assert t.total_scenes == 4
     assert t.scenes_per_sec > 0
     assert "steps_per_sec" in t.summary()
+
+
+def test_checkpoint_preserves_oriented_flag_and_resets_host_engine():
+    """Regression (round-3 review): the sticky per-scene `oriented` flag was
+    dropped on save/load, and loading into a tracker that had stepped in
+    host mode left a stale native session bound to pre-load buffers."""
+    import numpy as np
+
+    from similari_tpu.trackers import PositionalMetricType, Sort
+    from similari_tpu.utils.checkpoint import load_tracker, save_tracker
+
+    t1 = Sort(shards=1, bbox_history=1, max_idle_epochs=5,
+              method=PositionalMetricType.iou(0.3))
+    rot = np.array([[50.0, 50, 0.6, 1.0, 20]], np.float32)
+    conf = np.ones((1,), np.float32)
+    _, ids0, _, _, _ = t1.predict_arrays(0, rot, conf)
+    assert t1._scenes[0].oriented
+    save_tracker(t1, "/tmp/ckpt_oriented.npz")
+
+    t2 = Sort(shards=1, bbox_history=1, max_idle_epochs=5,
+              method=PositionalMetricType.iou(0.3))
+    # step the fresh tracker in HOST mode first (axis-aligned) so load must
+    # clear the host/session residue
+    t2.predict_arrays(1, np.array([[5.0, 5, 0, 1, 10]], np.float32), conf)
+    assert t2._scenes[1].host
+    load_tracker(t2, "/tmp/ckpt_oriented.npz")
+    assert t2._scenes[0].oriented
+    assert not t2._scenes[0].host and t2._scenes[0].session is None
+    # restored rotated track must keep its id through the device engine
+    rot2 = rot.copy(); rot2[0, 0] += 1
+    _, ids1, _, _, _ = t2.predict_arrays(0, rot2, conf)
+    np.testing.assert_array_equal(ids1, ids0)

@@ -180,3 +180,38 @@ def test_sort_sequence_pallas_engine_matches_xla():
         np.testing.assert_array_equal(
             [r[0] for r in out_x[f]], [r[0] for r in out_p[f]],
             err_msg=f"frame {f}")
+
+
+def test_frame_gaps_age_tracks_in_every_runner():
+    """Regression (round-3 review): empty-frame GAPS must advance the epoch
+    clock (max_idle_epochs is defined in epochs); previously the runners
+    compressed a 10-frame gap into one step and kept stale ids."""
+    from similari_tpu.eval.mot import run_sequence_interactive
+    from similari_tpu.trackers import PositionalMetricType, Sort
+
+    dets = {}
+    for f in list(range(1, 4)) + list(range(14, 17)):  # 10-frame gap
+        dets[f] = [(100.0 + f, 50.0, 20.0, 40.0, 1.0)]
+
+    for engine in ("xla", "pallas"):
+        out, _ = run_sequence_device(dets, method="iou", capacity=16,
+                                     max_idle_epochs=5, engine=engine)
+        id_before = out[3][0][0]
+        id_after = out[14][0][0]
+        assert id_after != id_before, engine  # track aged out across the gap
+
+    tr = Sort(shards=1, bbox_history=1, max_idle_epochs=5,
+              method=PositionalMetricType.iou(0.3))
+    out_i = run_sequence_interactive(tr, dets)
+    assert out_i[14][0][0] != out_i[3][0][0]
+
+    # and WITHOUT a real gap the id must survive
+    dets2 = {f: [(100.0 + f, 50.0, 20.0, 40.0, 1.0)] for f in range(1, 8)}
+    out2, _ = run_sequence_device(dets2, method="iou", capacity=16,
+                                  max_idle_epochs=5)
+    assert out2[7][0][0] == out2[1][0][0]
+
+
+def test_empty_detections_return_empty():
+    out, fps = run_sequence_device({}, method="iou", capacity=16)
+    assert out == {} and fps == 0.0
