@@ -39,8 +39,17 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         os.environ.get("SIMILARI_TPU_CACHE", Path.home() / ".cache" / "similari_tpu")
     )
     cache_dir.mkdir(parents=True, exist_ok=True)
-    lib_path = cache_dir / f"libsimilari_native_{tag}.so"
+    # cache key includes the machine so a shared cache (NFS home) never
+    # serves -march=native code across heterogeneous hosts
+    import platform as _platform
+
+    lib_path = cache_dir / (
+        f"libsimilari_native_{tag}_{_platform.machine()}.so"
+    )
     if not lib_path.exists():
+        # pid-unique temp + atomic replace: concurrent first-use builds
+        # (e.g. parallel pytest workers) must not interleave into one file
+        tmp = f"{lib_path}.{os.getpid()}.tmp"
         cmd = [
             os.environ.get("CXX", "g++"),
             "-O3",
@@ -52,11 +61,11 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
             "-I", str(Path(__file__).parent),
             *[str(s) for s in _SRCS],
             "-o",
-            str(lib_path) + ".tmp",
+            tmp,
         ]
         try:
             subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-            os.replace(str(lib_path) + ".tmp", lib_path)
+            os.replace(tmp, lib_path)
         except Exception:
             return None
     try:
@@ -549,6 +558,12 @@ class VisualStepSession:
         F = ctypes.POINTER(ctypes.c_float)
         I = ctypes.POINTER(ctypes.c_int32)
         U8 = ctypes.POINTER(ctypes.c_uint8)
+        # raw pointers into C: coerce dtype/layout like SortStepSession does
+        det_box = np.ascontiguousarray(det_box, np.float32)
+        det_conf = np.ascontiguousarray(det_conf, np.float32)
+        det_feat = np.ascontiguousarray(det_feat, np.float32)
+        det_quality = np.ascontiguousarray(det_quality, np.float32)
+        det_own_area = np.ascontiguousarray(det_own_area, np.float32)
         dfv = np.ascontiguousarray(det_feat_valid, np.uint8)
         o_slot, o_id, o_new, o_pred, o_len, o_vt, o_nid = self._outs(d)
         rc = self._lib.visual_step_host(
@@ -573,12 +588,22 @@ class VisualStepSession:
 
 
 def _load_sequence_soa_numpy(path):
-    """Pure-numpy fallback for `load_sequence_soa` (same output contract)."""
-    rows = np.atleast_2d(
-        np.genfromtxt(path, delimiter=",", usecols=range(7), dtype=np.float64,
-                      invalid_raise=False, filling_values=1.0)
-    )
-    rows = rows[~np.isnan(rows[:, 0])]
+    """Pure-Python fallback for `load_sequence_soa` (same output contract,
+    incl. 6-column files whose missing conf parses as 1.0 — motloader.cpp)."""
+    import csv as _csv
+
+    parsed = []
+    with open(path, "r") as fh:
+        for r in _csv.reader(fh):
+            if len(r) < 6:
+                continue
+            try:
+                conf = float(r[6]) if len(r) > 6 and r[6] != "" else 1.0
+                parsed.append((float(r[0]), float(r[1]), float(r[2]),
+                               float(r[3]), float(r[4]), float(r[5]), conf))
+            except ValueError:
+                continue  # header/garbage line
+    rows = np.asarray(parsed, np.float64).reshape(-1, 7)
     frames = np.unique(rows[:, 0].astype(np.int64))
     counts = {f: 0 for f in frames}
     for f in rows[:, 0].astype(np.int64):

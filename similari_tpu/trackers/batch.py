@@ -66,6 +66,11 @@ class SortPredictionBatchRequest:
         bbox: Universal2DBox,
         custom_object_id: Optional[int] = None,
     ):
+        if self.result is None:
+            raise RuntimeError(
+                "this batch request was already consumed by predict(); "
+                "build a fresh SortPredictionBatchRequest per batch "
+                "(`batch.rs` requests are single-use)")
         self.batch.setdefault(scene_id, []).append((bbox, custom_object_id))
         self.result._batch_size = len(self.batch)
 
@@ -125,7 +130,11 @@ class BatchSort:
             self._auto_waste_counter = 100
         else:
             self._auto_waste_counter -= 1
-        result = batch_request.result or PredictionBatchResult()
+        if batch_request.result is None:
+            raise RuntimeError(
+                "batch request already consumed by a previous predict(); "
+                "build a fresh request per batch")
+        result = batch_request.result
         batch_request.result = None
         result._batch_size = len(batch_request.batch)
         for scene_id, tracks in self._engine.predict_scenes(
@@ -180,6 +189,10 @@ class VisualSortPredictionBatchRequest:
         self.result: Optional[PredictionBatchResult] = PredictionBatchResult()
 
     def add(self, scene_id: int, observation: VisualSortObservation):
+        if self.result is None:
+            raise RuntimeError(
+                "this batch request was already consumed by predict(); "
+                "build a fresh VisualSortPredictionBatchRequest per batch")
         self.batch.setdefault(scene_id, []).append(observation)
         self.result._batch_size = len(self.batch)
 
@@ -229,7 +242,11 @@ class BatchVisualSort:
             self._auto_waste_counter = 100
         else:
             self._auto_waste_counter -= 1
-        result = batch_request.result or PredictionBatchResult()
+        if batch_request.result is None:
+            raise RuntimeError(
+                "batch request already consumed by a previous predict(); "
+                "build a fresh request per batch")
+        result = batch_request.result
         batch_request.result = None
         result._batch_size = len(batch_request.batch)
         for scene_id, tracks in self._engine.predict_scenes(

@@ -172,7 +172,8 @@ class SceneBatchEngine:
         is_new = np.asarray(out.is_new)
         pred_box = np.asarray(out.pred_box)
         length = np.asarray(out.length)
-        assert not bool(np.asarray(out.overflow).any()), "track store overflow"
+        if bool(np.asarray(out.overflow).any()):
+            raise RuntimeError("track store overflow (grow capacity)")
 
         results: Dict[int, List[SortTrack]] = {}
         for sid in scenes:

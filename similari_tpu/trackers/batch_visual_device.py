@@ -186,7 +186,8 @@ class VisualSceneBatchEngine:
         pred_box = np.asarray(out.pred_box)
         length = np.asarray(out.length)
         vt = np.asarray(out.voting_type)
-        assert not bool(np.asarray(out.overflow).any()), "track store overflow"
+        if bool(np.asarray(out.overflow).any()):
+            raise RuntimeError("track store overflow (grow capacity)")
 
         results: Dict[int, List[SortTrack]] = {}
         for sid in scenes:

@@ -110,7 +110,7 @@ class WastedSortTrack:
 class _SceneStore:
     """Device state + host aux for one scene."""
 
-    def __init__(self, capacity: int, history: int, next_id_ref):
+    def __init__(self, capacity: int, history: int):
         self.state: SortState = new_sort_state(capacity, history)
         self.custom_ids = np.full((capacity,), -1, np.int64)
         self.has_custom = np.zeros((capacity,), bool)
@@ -364,7 +364,9 @@ class Sort:
         is_new = np.asarray(out.is_new)[:d]
         pred_box = np.asarray(out.pred_box)[:d]
         length = np.asarray(out.length)[:d]
-        assert not bool(np.asarray(out.overflow)), "track store overflow"
+        if bool(np.asarray(out.overflow)):
+            raise RuntimeError(
+                f"track store overflow (capacity {store.state.capacity})")
 
         self._next_track_id = int(np.asarray(state.next_id))
         store.active_count += int(is_new.sum())
@@ -379,7 +381,7 @@ class Sort:
     def _get_store(self, scene_id: int) -> _SceneStore:
         if scene_id not in self._scenes:
             self._scenes[scene_id] = _SceneStore(
-                self._capacity0, self._history, None
+                self._capacity0, self._history
             )
         return self._scenes[scene_id]
 

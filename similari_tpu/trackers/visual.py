@@ -350,7 +350,9 @@ class VisualSort:
     ) -> List[SortTrack]:
         if self._auto_waste_counter == 0:
             self._auto_waste()
-            self._auto_waste_counter = DEFAULT_AUTO_WASTE_PERIODICITY
+            self._auto_waste_counter = getattr(
+                self, "_auto_waste_periodicity", DEFAULT_AUTO_WASTE_PERIODICITY
+            )
         else:
             self._auto_waste_counter -= 1
 
@@ -492,7 +494,9 @@ class VisualSort:
             pred_box = np.asarray(out.pred_box)[:d]
             length = np.asarray(out.length)[:d]
             vt = np.asarray(out.voting_type)[:d]
-            assert not bool(np.asarray(out.overflow)), "track store overflow"
+            if bool(np.asarray(out.overflow)):
+                raise RuntimeError(
+                    f"track store overflow (capacity {store.state.capacity})")
 
             self._next_track_id = int(np.asarray(state.next_id))
             store.active_count += int(is_new.sum())

@@ -1,6 +1,7 @@
 """BatchSort / BatchVisualSort API tests (reference `sort/batch_api.rs:552-…`)."""
 
 import numpy as np
+import pytest
 
 from similari_tpu import (
     BatchSort,
@@ -175,3 +176,53 @@ def test_batch_visual_many_scenes_reid():
     bvs.skip_epochs_for_scene(2, 10)
     wasted = bvs.wasted()
     assert len(wasted) == 2 and all(w.scene_id == 2 for w in wasted)
+
+
+def test_batch_request_is_single_use():
+    """Regression (round-3 review): reusing a consumed request crashed with
+    AttributeError / silently re-predicted; it must raise clearly."""
+    from similari_tpu.utils.bbox import BoundingBox
+
+    t = BatchSort(1, 1, method=PositionalMetricType.iou(0.3))
+    req = SortPredictionBatchRequest()
+    req.add(0, BoundingBox(0, 0, 10, 20).as_xyaah())
+    t.predict(req)
+    with pytest.raises(RuntimeError, match="consumed"):
+        req.add(0, BoundingBox(5, 5, 10, 20).as_xyaah())
+    with pytest.raises(RuntimeError, match="consumed"):
+        t.predict(req)
+
+
+def test_visual_sort_set_auto_waste_periodicity():
+    """Regression (round-3 review): VisualSort ignored set_auto_waste and
+    always reset the counter to the default 100."""
+    import numpy as np
+
+    from similari_tpu import (
+        BoundingBox, PositionalMetricType as PMT, VisualSort,
+        VisualSortMetricType, VisualSortObservation, VisualSortObservationSet,
+        VisualSortOptions,
+    )
+
+    opts = VisualSortOptions()
+    opts.visual_metric(VisualSortMetricType.euclidean(5.0))
+    opts.positional_metric(PMT.iou(0.3))
+    opts.visual_minimal_track_length(2)
+    opts.max_idle_epochs(1)
+    tr = VisualSort(1, opts)
+
+    def obs(x):
+        o = VisualSortObservationSet()
+        o.add(VisualSortObservation(
+            feature=np.ones(4, np.float32), feature_quality=0.9,
+            bounding_box=BoundingBox(x, 10.0, 10.0, 20.0).as_xyaah(),
+            custom_object_id=None))
+        return o
+
+    tr.set_auto_waste(2)
+    tr.predict(obs(0.0))      # counter 0 -> waste runs, reset to 2
+    tr.skip_epochs(5)         # the track goes stale
+    tr.predict(obs(500.0))    # counter 2 -> 1
+    tr.predict(obs(500.0))    # counter 1 -> 0
+    tr.predict(obs(500.0))    # counter 0 -> auto-waste runs (period 2)
+    assert tr.wasted_shard_stats()[0] >= 1  # stale track auto-wasted

@@ -129,3 +129,18 @@ def test_run_sequence_device_from_file(tmp_path):
     assert out_path.keys() == out_dict.keys()
     for f in out_path:
         assert out_path[f] == out_dict[f]
+
+
+def test_numpy_mot_fallback_handles_six_column_files(tmp_path):
+    """Regression (round-3 review): the numpy fallback silently dropped every
+    row of 6-column MOT files (missing conf), which the native loader parses
+    as conf=1.0."""
+    from similari_tpu.native import _load_sequence_soa_numpy
+
+    p = tmp_path / "det6.txt"
+    p.write_text("1,1,10,20,30,40\n1,2,50,60,30,40\n2,1,11,21,30,40\n")
+    frames, box, conf, valid = _load_sequence_soa_numpy(p)
+    assert list(frames) == [1, 2]
+    assert valid[0].sum() == 2 and valid[1].sum() == 1
+    np.testing.assert_allclose(conf[0, :2], [1.0, 1.0])
+    np.testing.assert_allclose(box[0, 0, :2], [25.0, 40.0])  # xc, yc
