@@ -34,6 +34,7 @@ from .sort import (
 )
 from .sort_step import SortConfig
 from .state import SortState, new_sort_state
+from .waste import build_wasted_records
 
 from functools import lru_cache, partial
 
@@ -236,33 +237,15 @@ class SceneBatchEngine:
 
     def _export(self, sid, row, slots) -> List[WastedSortTrack]:
         st = self.state
-        h = self.history
-        hist_obs = np.asarray(st.hist_obs[row, slots])
-        hist_pred = np.asarray(st.hist_pred[row, slots])
-        hist_conf = np.asarray(st.hist_conf[row, slots])
-        length = np.asarray(st.length[row, slots])
-        track_id = np.asarray(st.track_id[row, slots])
-        last_epoch = np.asarray(st.last_epoch[row, slots])
-        res = []
-        for k in range(len(slots)):
-            ln = int(length[k])
-            n = min(ln, h)
-            order = [(ln - n + j) % h for j in range(n)]
-            obs = [_box_from_row(hist_obs[k, o], float(hist_conf[k, o])) for o in order]
-            pred = [_box_from_row(hist_pred[k, o], float(hist_conf[k, o])) for o in order]
-            res.append(
-                WastedSortTrack(
-                    id=int(track_id[k]),
-                    epoch=int(last_epoch[k]),
-                    predicted_bbox=pred[-1],
-                    observed_bbox=obs[-1],
-                    scene_id=sid,
-                    length=ln,
-                    predicted_boxes=pred,
-                    observed_boxes=obs,
-                )
-            )
-        return res
+        return build_wasted_records(
+            WastedSortTrack, sid, self.history,
+            np.asarray(st.hist_obs[row, slots]),
+            np.asarray(st.hist_pred[row, slots]),
+            np.asarray(st.hist_conf[row, slots]),
+            np.asarray(st.length[row, slots]),
+            np.asarray(st.track_id[row, slots]),
+            np.asarray(st.last_epoch[row, slots]),
+        )
 
     def idle_tracks(self, scene_id: int) -> List[SortTrack]:
         row = self.row_of_scene.get(scene_id)

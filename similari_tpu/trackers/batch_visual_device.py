@@ -19,6 +19,7 @@ import numpy as np
 from ..parallel.mesh import batched_visual_step
 from ..utils.clipping import exclusively_owned_areas_normalized_shares
 from .sort import SortTrack, VotingType, WastedSortTrack, _box_from_row, _pad_pow2
+from .waste import build_wasted_records
 from .visual import VisualSortObservation, WastedVisualSortTrack
 from .visual_state import VisualState, new_visual_state
 from .visual_step import VisualConfig
@@ -256,37 +257,17 @@ class VisualSceneBatchEngine:
 
     def _export(self, sid, row, slots) -> List[WastedVisualSortTrack]:
         st = self.state
-        h = self.history
-        hist_obs = np.asarray(st.hist_obs[row, slots])
-        hist_pred = np.asarray(st.hist_pred[row, slots])
-        hist_conf = np.asarray(st.hist_conf[row, slots])
-        hist_feat = np.asarray(st.hist_feat[row, slots])
-        hist_fv = np.asarray(st.hist_feat_valid[row, slots])
-        length = np.asarray(st.length[row, slots])
-        track_id = np.asarray(st.track_id[row, slots])
-        last_epoch = np.asarray(st.last_epoch[row, slots])
-        res = []
-        for k in range(len(slots)):
-            ln = int(length[k])
-            n = min(ln, h)
-            order = [(ln - n + j) % h for j in range(n)]
-            obs = [_box_from_row(hist_obs[k, o], float(hist_conf[k, o])) for o in order]
-            pred = [_box_from_row(hist_pred[k, o], float(hist_conf[k, o])) for o in order]
-            feats = [hist_feat[k, o].copy() if hist_fv[k, o] else None for o in order]
-            res.append(
-                WastedVisualSortTrack(
-                    id=int(track_id[k]),
-                    epoch=int(last_epoch[k]),
-                    predicted_bbox=pred[-1],
-                    observed_bbox=obs[-1],
-                    scene_id=sid,
-                    length=ln,
-                    predicted_boxes=pred,
-                    observed_boxes=obs,
-                    observed_features=feats,
-                )
-            )
-        return res
+        return build_wasted_records(
+            WastedVisualSortTrack, sid, self.history,
+            np.asarray(st.hist_obs[row, slots]),
+            np.asarray(st.hist_pred[row, slots]),
+            np.asarray(st.hist_conf[row, slots]),
+            np.asarray(st.length[row, slots]),
+            np.asarray(st.track_id[row, slots]),
+            np.asarray(st.last_epoch[row, slots]),
+            hist_feat=np.asarray(st.hist_feat[row, slots]),
+            hist_feat_valid=np.asarray(st.hist_feat_valid[row, slots]),
+        )
 
     def idle_tracks(self, scene_id: int) -> List[SortTrack]:
         row = self.row_of_scene.get(scene_id)

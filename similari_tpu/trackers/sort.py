@@ -30,6 +30,7 @@ from .sort_step import (
     compiled_sort_step,
 )
 from .state import SortState, grow_state, new_sort_state
+from .waste import build_wasted_records
 
 DEFAULT_AUTO_WASTE_PERIODICITY = 100  # `src/trackers/sort.rs:378`
 
@@ -400,36 +401,15 @@ class Sort:
 
     def _export_wasted(self, scene_id: int, store: _SceneStore, slots: np.ndarray):
         st = store.state
-        h = st.history
-        hist_obs = np.asarray(st.hist_obs[slots])
-        hist_pred = np.asarray(st.hist_pred[slots])
-        hist_conf = np.asarray(st.hist_conf[slots])
-        length = np.asarray(st.length[slots])
-        track_id = np.asarray(st.track_id[slots])
-        last_epoch = np.asarray(st.last_epoch[slots])
-
-        for k, s in enumerate(slots):
-            ln = int(length[k])
-            n = min(ln, h)
-            order = [(ln - n + j) % h for j in range(n)]
-            obs = [
-                _box_from_row(hist_obs[k, o], float(hist_conf[k, o])) for o in order
-            ]
-            pred = [
-                _box_from_row(hist_pred[k, o], float(hist_conf[k, o])) for o in order
-            ]
-            self._wasted_bin.append(
-                WastedSortTrack(
-                    id=int(track_id[k]),
-                    epoch=int(last_epoch[k]),
-                    predicted_bbox=pred[-1],
-                    observed_bbox=obs[-1],
-                    scene_id=scene_id,
-                    length=ln,
-                    predicted_boxes=pred,
-                    observed_boxes=obs,
-                )
+        self._wasted_bin.extend(
+            build_wasted_records(
+                WastedSortTrack, scene_id, st.history,
+                np.asarray(st.hist_obs[slots]), np.asarray(st.hist_pred[slots]),
+                np.asarray(st.hist_conf[slots]), np.asarray(st.length[slots]),
+                np.asarray(st.track_id[slots]),
+                np.asarray(st.last_epoch[slots]),
             )
+        )
         # deactivate the slots (in place on host, .at[] on device)
         if isinstance(store.state.active, np.ndarray):
             store.state.active[slots] = False

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..utils.bbox import Universal2DBox
+from .waste import build_wasted_records
 from ..utils.clipping import exclusively_owned_areas_normalized_shares
 from .constraints import SpatioTemporalConstraints
 from .sort import (
@@ -548,38 +549,17 @@ class VisualSort:
 
     def _export_wasted(self, scene_id, store, slots):
         st = store.state
-        h = st.history
-        hist_obs = np.asarray(st.hist_obs[slots])
-        hist_pred = np.asarray(st.hist_pred[slots])
-        hist_conf = np.asarray(st.hist_conf[slots])
-        hist_feat = np.asarray(st.hist_feat[slots])
-        hist_fv = np.asarray(st.hist_feat_valid[slots])
-        length = np.asarray(st.length[slots])
-        track_id = np.asarray(st.track_id[slots])
-        last_epoch = np.asarray(st.last_epoch[slots])
-
-        for k in range(len(slots)):
-            ln = int(length[k])
-            n = min(ln, h)
-            order = [(ln - n + j) % h for j in range(n)]
-            obs = [_box_from_row(hist_obs[k, o], float(hist_conf[k, o])) for o in order]
-            pred = [_box_from_row(hist_pred[k, o], float(hist_conf[k, o])) for o in order]
-            feats = [
-                hist_feat[k, o].copy() if hist_fv[k, o] else None for o in order
-            ]
-            self._wasted_bin.append(
-                WastedVisualSortTrack(
-                    id=int(track_id[k]),
-                    epoch=int(last_epoch[k]),
-                    predicted_bbox=pred[-1],
-                    observed_bbox=obs[-1],
-                    scene_id=scene_id,
-                    length=ln,
-                    predicted_boxes=pred,
-                    observed_boxes=obs,
-                    observed_features=feats,
-                )
+        self._wasted_bin.extend(
+            build_wasted_records(
+                WastedVisualSortTrack, scene_id, st.history,
+                np.asarray(st.hist_obs[slots]), np.asarray(st.hist_pred[slots]),
+                np.asarray(st.hist_conf[slots]), np.asarray(st.length[slots]),
+                np.asarray(st.track_id[slots]),
+                np.asarray(st.last_epoch[slots]),
+                hist_feat=np.asarray(st.hist_feat[slots]),
+                hist_feat_valid=np.asarray(st.hist_feat_valid[slots]),
             )
+        )
         if isinstance(store.state.active, np.ndarray):
             store.state.active[slots] = False
         else:
