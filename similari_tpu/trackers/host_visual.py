@@ -36,6 +36,7 @@ from .host_sort import (
     _kf_initiate,
     _kf_predict,
     _kf_update,
+    _radius,
     _solve_components,
     _stds,
 )
@@ -44,12 +45,6 @@ from ..ops.kalman import CHI2_UPPER_BOUND
 from .visual_state import VisualState
 
 _NEG = np.float32(-1e30)
-
-
-def _radius(b):
-    hw = b[..., 3] * b[..., 4] * np.float32(0.5)
-    hh = b[..., 4] * np.float32(0.5)
-    return np.sqrt(hw * hw + hh * hh)
 
 
 def host_visual_step(
