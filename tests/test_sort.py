@@ -256,3 +256,30 @@ def test_oriented_end_to_end_scene_sticky():
         ids.add(v[0].id)
     assert len(ids) == 1
     assert t._scenes[0].oriented
+
+
+def test_build_wasted_records_ring_wraparound():
+    """The shared export builder must unroll the ring oldest-first when
+    length > history (slot 0 holds the (h+1)-th frame after wrap)."""
+    from similari_tpu.trackers.sort import WastedSortTrack
+    from similari_tpu.trackers.waste import build_wasted_records
+
+    h = 3
+    # track saw 5 frames, ring of 3: frames 3,4,5 live at ring slots
+    # (5-3+j)%3 = 2,0,1 -> xc values must come out as 30,40,50
+    hist_obs = np.zeros((1, h, 5), np.float32)
+    hist_pred = np.zeros((1, h, 5), np.float32)
+    for frame, slot in [(4, 0), (5, 1), (3, 2)]:
+        hist_obs[0, slot, 0] = frame * 10.0
+        hist_pred[0, slot, 0] = frame * 10.0 + 1.0
+        hist_obs[0, slot, 3] = hist_pred[0, slot, 3] = 0.5
+        hist_obs[0, slot, 4] = hist_pred[0, slot, 4] = 20.0
+    hist_conf = np.full((1, h), 0.9, np.float32)
+    recs = build_wasted_records(
+        WastedSortTrack, 7, h, hist_obs, hist_pred, hist_conf,
+        np.array([5]), np.array([42]), np.array([11]))
+    (r,) = recs
+    assert (r.id, r.scene_id, r.epoch, r.length) == (42, 7, 11, 5)
+    assert [b.xc for b in r.observed_boxes] == [30.0, 40.0, 50.0]
+    assert [b.xc for b in r.predicted_boxes] == [31.0, 41.0, 51.0]
+    assert r.observed_bbox.xc == 50.0 and r.predicted_bbox.xc == 51.0
