@@ -95,6 +95,22 @@ class UnboundMetric(SimpleMetric):
     pass
 
 
+class BatchedSimpleMetric(SimpleMetric):
+    """SimpleMetric that opts into the store's batched feature sweep
+    (`core/store.py:_distances_batched`): the store precomputes the whole
+    euclidean matrix in one vectorized op and this metric reads each pair's
+    value from `MetricQuery.precomputed_distance`."""
+
+    supports_batch_features = "euclidean"
+
+    def metric(self, mq: MetricQuery):
+        if mq.precomputed_distance is not None:
+            e1, e2 = mq.candidate_observation, mq.track_observation
+            return (_f32_metric(e1.attr(), e2.attr()), mq.precomputed_distance)
+        return super().metric(mq)
+
+
+
 class BBoxAttributes(TrackAttributes):
     """`examples/iou.rs:8-38`."""
 

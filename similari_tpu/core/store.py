@@ -4,11 +4,11 @@ Re-design of `/root/reference/src/track/store.rs`: the reference fans
 candidates out to thread-per-shard executors over crossbeam channels; here the
 store is a flat dict and `foreign_track_distances` is a single batched sweep.
 For metrics that expose no batch path the sweep calls the Python metric per
-pair (extensibility parity); feature-heavy workloads can accelerate the inner
-product through `similari_tpu.ops.distances` by declaring
-`supports_batch_features` on the metric (the store then computes the full
-candidates x observations distance matrix as one device matmul and hands the
-metric precomputed distances).
+pair (extensibility parity); feature-heavy workloads can opt in by declaring
+`supports_batch_features = "euclidean" | "cosine"` on the metric — the store
+then computes each candidate×track feature-distance matrix as one vectorized
+sgemm sweep and hands every `MetricQuery` its pair's value in
+`precomputed_distance` (see `_distances_batched`).
 """
 
 from __future__ import annotations
@@ -20,6 +20,7 @@ import numpy as np
 
 from .track import (
     IncompatibleAttributes,
+    MetricQuery,
     NoopNotifier,
     Observation,
     ObservationForClassNotFound,
@@ -106,6 +107,7 @@ class TrackStore:
         are returned in the error list.  `postprocess_distances` runs per
         candidate-vs-track batch like the per-shard batches of the reference.
         """
+        batch_kind = getattr(self.metric, "supports_batch_features", None)
         distances: List[ObservationMetricOk] = []
         errors: List[Exception] = []
         for cand in tracks:
@@ -120,13 +122,81 @@ class TrackStore:
                     if status != TrackStatus.Ready:
                         continue
                 try:
-                    dists = cand.distances(other, feature_class)
+                    if batch_kind:
+                        dists = self._distances_batched(
+                            cand, other, feature_class, batch_kind
+                        )
+                    else:
+                        dists = cand.distances(other, feature_class)
                     distances.extend(cand.metric.postprocess_distances(dists))
                 except IncompatibleAttributes:
                     continue
                 except Exception as e:  # noqa: BLE001 - error stream parity
                     errors.append(e)
         return distances, errors
+
+    def _distances_batched(
+        self, cand: Track, other: Track, feature_class: int, kind: str
+    ) -> List[ObservationMetricOk]:
+        """`Track.distances` with the feature part precomputed as one matrix.
+
+        The reference's per-pair SIMD loops (`src/distance.rs:9-47`) become a
+        single vectorized sweep over all left×right observations; each
+        `MetricQuery` then carries its pair's value in `precomputed_distance`
+        so the metric only evaluates the attribute part.  Falls back to plain
+        per-pair queries when any observation lacks a feature or dims differ.
+        """
+        if not cand.attributes.compatible(other.attributes):
+            raise IncompatibleAttributes(
+                f"{cand.track_id} incompatible with {other.track_id}"
+            )
+        left = cand.observations.get(feature_class)
+        right = other.observations.get(feature_class)
+        if left is None or right is None:
+            raise ObservationForClassNotFound(
+                f"class {feature_class} for {cand.track_id}/{other.track_id}"
+            )
+        lf = [o.feature() for o in left]
+        rf = [o.feature() for o in right]
+        pre = None
+        dims = {f.shape[0] for f in lf + rf if f is not None}
+        if all(f is not None for f in lf + rf) and len(dims) == 1:
+            q = np.stack(lf).astype(np.float32)
+            g = np.stack(rf).astype(np.float32)
+            if kind == "cosine":
+                qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+                gn = g / np.maximum(np.linalg.norm(g, axis=1, keepdims=True), 1e-12)
+                pre = qn @ gn.T
+            else:  # euclidean via the sgemm expansion |q|^2 - 2qg + |g|^2
+                qq = (q * q).sum(1)[:, None]
+                gg = (g * g).sum(1)[None, :]
+                pre = np.sqrt(np.maximum(qq - 2.0 * (q @ g.T) + gg, 0.0))
+        out = []
+        for i, l in enumerate(left):
+            for j, r in enumerate(right):
+                mq = MetricQuery(
+                    feature_class=feature_class,
+                    candidate_attrs=cand.attributes,
+                    candidate_observation=l,
+                    track_attrs=other.attributes,
+                    track_observation=r,
+                    precomputed_distance=(
+                        float(pre[i, j]) if pre is not None else None
+                    ),
+                )
+                res = cand.metric.metric(mq)
+                if res is None:
+                    continue
+                attribute_metric, feature_distance = res
+                out.append(
+                    ObservationMetricOk(
+                        from_id=cand.track_id,
+                        to_id=other.track_id,
+                        attribute_metric=attribute_metric,
+                        feature_distance=feature_distance,
+                    )
+                )
+        return out
 
     def owned_track_distances(
         self, track_ids: Sequence[int], feature_class: int, only_baked: bool

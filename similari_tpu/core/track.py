@@ -90,13 +90,21 @@ class ObservationMetricOk:
 
 @dataclasses.dataclass
 class MetricQuery:
-    """`track.rs:134-145`."""
+    """`track.rs:134-145`.
+
+    `precomputed_distance` has no reference counterpart: when a metric
+    declares `supports_batch_features` ("euclidean" or "cosine"), the store
+    computes the whole candidate×track feature-distance matrix in one
+    vectorized sweep and delivers each pair's value here, so the metric can
+    skip the per-pair feature math (`core/store.py`).
+    """
 
     feature_class: int
     candidate_attrs: Any
     candidate_observation: Observation
     track_attrs: Any
     track_observation: Observation
+    precomputed_distance: Optional[float] = None
 
 
 class TrackAttributes:
@@ -275,6 +283,9 @@ class Track:
             else:
                 prev_length = None
 
+            # recomputed inside the class loop on purpose: the reference does
+            # the same (`track.rs:555-563`), so a multi-class merge appends
+            # `other`'s history once per optimized class — parity over tidiness
             if merge_history:
                 mh = list(self.merge_history) + list(other.merge_history)
             else:

@@ -301,3 +301,51 @@ def test_best_fit_greedy_claim():
     assert w[10][0].winner_track == 1
     # 20's best group (by weight) lost track 1 to 10 -> winner = self
     assert w[20][0].winner_track == 20
+
+
+def test_batched_feature_sweep_matches_per_pair_metric():
+    """A metric declaring `supports_batch_features` gets the store-precomputed
+    euclidean matrix and must produce identical distances to the plain path."""
+    from similari_tpu.core.examples import BatchedSimpleMetric
+
+    rng = np.random.default_rng(3)
+
+    def build(metric):
+        store = (
+            TrackStoreBuilder(2)
+            .default_attributes(SimpleAttrs())
+            .metric(metric)
+            .notifier(NoopNotifier())
+            .build()
+        )
+        rng2 = np.random.default_rng(7)
+        for tid in range(1, 5):
+            for k in range(3):
+                store.add(tid, 0, float(tid) * 0.1,
+                          rng2.normal(size=16).astype(np.float32),
+                          SimpleAttributeUpdate() if k == 0 else None)
+        cand = (
+            store.new_track(99)
+            .observation(
+                ObservationBuilder(0)
+                .observation_attributes(0.25)
+                .observation(rng.normal(size=16).astype(np.float32))
+                .track_attributes_update(SimpleAttributeUpdate())
+                .build()
+            )
+            .build()
+        )
+        dists, errs = store.foreign_track_distances([cand], 0, False)
+        assert not errs
+        return dists
+
+    rng = np.random.default_rng(3)
+    plain = build(SimpleMetric())
+    rng = np.random.default_rng(3)
+    batched = build(BatchedSimpleMetric())
+    assert len(plain) == len(batched) == 12
+    for p, b in zip(plain, batched):
+        assert (p.from_id, p.to_id) == (b.from_id, b.to_id)
+        assert p.attribute_metric == b.attribute_metric
+        np.testing.assert_allclose(
+            p.feature_distance, b.feature_distance, rtol=1e-5, atol=1e-6)
