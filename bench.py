@@ -448,26 +448,32 @@ def bench_interactive_host(reps=40):
             ts.append(_t.perf_counter() - t0)
         return statistics.median(ts) * 1e3
 
-    for n in (10, 100, 500, 1000):
-        rng = np.random.default_rng(1)
-        xy = rng.uniform(0, 2000, (n, 2)).astype(np.float32)
-        wh = rng.uniform(30, 60, (n, 2)).astype(np.float32)
-        tr = Sort(shards=1, bbox_history=1, max_idle_epochs=5,
-                  method=PositionalMetricType.iou(0.3))
+    for oriented in (False, True):
+        for n in (10, 100, 500, 1000):
+            rng = np.random.default_rng(1)
+            xy = rng.uniform(0, 2000, (n, 2)).astype(np.float32)
+            wh = rng.uniform(30, 60, (n, 2)).astype(np.float32)
+            ang = rng.uniform(0, 1.0, (n,)).astype(np.float32)
+            tr = Sort(shards=1, bbox_history=1, max_idle_epochs=5,
+                      method=PositionalMetricType.iou(0.3))
 
-        def frame():
-            nonlocal xy
-            xy = xy + rng.uniform(-2, 2, xy.shape).astype(np.float32)
-            b = np.zeros((n, 5), np.float32)
-            b[:, :2] = xy
-            b[:, 3] = wh[:, 0] / wh[:, 1]
-            b[:, 4] = wh[:, 1]
-            return b, np.ones((n,), np.float32)
+            def frame():
+                nonlocal xy
+                xy = xy + rng.uniform(-2, 2, xy.shape).astype(np.float32)
+                b = np.zeros((n, 5), np.float32)
+                b[:, :2] = xy
+                if oriented:
+                    b[:, 2] = ang
+                b[:, 3] = wh[:, 0] / wh[:, 1]
+                b[:, 4] = wh[:, 1]
+                return b, np.ones((n,), np.float32)
 
-        for _ in range(5):
-            tr.predict_arrays(0, *frame())
-        out[f"interactive_sort_{n}_ms"] = round(
-            med(lambda: tr.predict_arrays(0, *frame())), 3)
+            for _ in range(5):
+                tr.predict_arrays(0, *frame())
+            key = ("interactive_sort_oriented" if oriented
+                   else "interactive_sort")
+            out[f"{key}_{n}_ms"] = round(
+                med(lambda: tr.predict_arrays(0, *frame())), 3)
 
     for n in (10, 100, 500):
         rng = np.random.default_rng(2)
@@ -498,27 +504,65 @@ def bench_interactive_host(reps=40):
         opts.max_idle_epochs(5)
         vtr = VisualSort(1, opts)
 
-        def vframe():
+        def vframe_arrays():
+            # array fast path (VisualSort.predict_arrays): the timed call
+            # carries no per-observation Python object churn, mirroring the
+            # SORT rows above (round-4 VERDICT item 2)
             nonlocal xy
             xy = xy + rng.uniform(-2, 2, xy.shape).astype(np.float32)
-            obs = VisualSortObservationSet()
-            for i in range(n):
-                f = ident[i] + rng.normal(
-                    scale=0.05, size=512).astype(np.float32)
-                obs.add(VisualSortObservation(
-                    feature=f, feature_quality=0.9,
-                    bounding_box=BoundingBox(
-                        float(xy[i, 0]), float(xy[i, 1]), 20.0, 40.0
-                    ).as_xyaah(),
-                    custom_object_id=i))
-            return obs
+            box = np.zeros((n, 5), np.float32)
+            box[:, :2] = xy
+            box[:, 3] = 0.5
+            box[:, 4] = 40.0
+            feat = ident + rng.normal(
+                scale=0.05, size=(n, 512)).astype(np.float32)
+            return (box, np.ones((n,), np.float32), feat,
+                    np.ones((n,), bool), np.full((n,), 0.9, np.float32))
 
         for _ in range(5):
-            vtr.predict(vframe())
-        frames = [vframe() for _ in range(reps)]
+            vtr.predict_arrays(0, *vframe_arrays())
+        frames = [vframe_arrays() for _ in range(reps)]
         it = iter(frames)
         out[f"interactive_visual_{n}_ms"] = round(
-            med(lambda: vtr.predict(next(it)), n_reps=len(frames)), 3)
+            med(lambda: vtr.predict_arrays(0, *next(it)),
+                n_reps=len(frames)), 3)
+
+    # BatchSORT at the reference's own per-call shape: ONE scene x N objects
+    # per request, constraint (1, 1.0)
+    # (/root/reference/benches/batch_sort_iou_tracker.rs:30-79; the request
+    # build is inside the timed region there, so it is here too)
+    from similari_tpu import BatchSort, SortPredictionBatchRequest
+    from similari_tpu.trackers.constraints import SpatioTemporalConstraints
+
+    for n in (10, 100, 500):
+        rng = np.random.default_rng(4)
+        xy = rng.uniform(0, 1000.0 * n, (n, 2)).astype(np.float32)
+        stc = SpatioTemporalConstraints()
+        stc.add_constraints([(1, 1.0)])
+        btr = BatchSort(1, 1, bbox_history=10, max_idle_epochs=1,
+                        method=PositionalMetricType.iou(0.3),
+                        spatio_temporal_constraints=stc)
+
+        def bframe():
+            nonlocal xy
+            xy = xy + rng.uniform(-1, 1, xy.shape).astype(np.float32)
+            return [BoundingBox(float(xy[i, 0]), float(xy[i, 1]),
+                                50.0, 50.0).as_xyaah() for i in range(n)]
+
+        def bcall(boxes):
+            req = SortPredictionBatchRequest()
+            for i, bb in enumerate(boxes):
+                req.add(0, bb, i)
+            res = btr.predict(req)
+            for _ in range(res.batch_size()):
+                res.get()
+
+        for _ in range(5):
+            bcall(bframe())
+        bframes = [bframe() for _ in range(max(8, reps // 2))]
+        bit = iter(bframes)
+        out[f"interactive_batch_sort_{n}_ms"] = round(
+            med(lambda: bcall(next(bit)), n_reps=len(bframes)), 3)
     return out
 
 
@@ -766,10 +810,19 @@ def main():
             inter = bench_interactive_host()
             results.update(inter)
             refs = {"sort_10": 0.149, "sort_100": 1.660, "sort_500": 17.432,
-                    "sort_1000": 53.098, "feature_10": 0.101465,
+                    "sort_1000": 53.098,
+                    # oriented cargo-bench rows, benchmarks.md:48-52
+                    "sort_oriented_10": 0.108414,
+                    "sort_oriented_100": 1.601062,
+                    "sort_oriented_500": 18.945655,
+                    "feature_10": 0.101465,
                     "feature_100": 4.020673, "feature_500": 61.716729,
                     "visual_10": 0.447903, "visual_50": 2.249694,
-                    "visual_100": 5.775469}
+                    "visual_100": 5.775469,
+                    # BatchSORT per-call rows, benchmarks.md:116-120
+                    "batch_sort_10": 0.106876,
+                    "batch_sort_100": 1.616542,
+                    "batch_sort_500": 20.454230}
             for key, ref in refs.items():
                 ms = inter.get(f"interactive_{key}_ms")
                 if ms:

@@ -24,7 +24,7 @@ _SRCS = [
     Path(__file__).parent / "nms.cpp",
     Path(__file__).parent / "visualstep.cpp",
 ]
-_HDRS = [Path(__file__).parent / "kf.h"]
+_HDRS = [Path(__file__).parent / "kf.h", Path(__file__).parent / "clip.h"]
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
 
@@ -103,7 +103,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     I = ctypes.POINTER(ctypes.c_int32)
     U8 = ctypes.POINTER(ctypes.c_uint8)
     lib.sort_step_host.argtypes = [
-        ctypes.c_int, ctypes.c_float, ctypes.c_float, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int,  # method, oriented
+        ctypes.c_float, ctypes.c_float, ctypes.c_int,
         ctypes.c_float, ctypes.c_float, ctypes.c_float, F, ctypes.c_int,
         F, F, F, F, F,  # kf
         F, F,  # pred/obs box
@@ -229,6 +230,7 @@ class SortStepSession:
         self._cons = cons  # keep alive (ctypes holds a raw pointer)
         self._pre = (
             0 if cfg.method == "iou" else 1,
+            1 if cfg.oriented else 0,
             cfg.iou_threshold, cfg.min_confidence, cfg.max_idle_epochs,
             cfg.position_weight, cfg.velocity_weight, cfg.new_track_threshold,
             f(cons), len(cfg.constraints),
@@ -247,11 +249,20 @@ class SortStepSession:
     def _outs(self, d):
         if d > self._outcap:
             cap = max(16, 1 << (d - 1).bit_length())
-            self._outbufs = (
+            F = ctypes.POINTER(ctypes.c_float)
+            I = ctypes.POINTER(ctypes.c_int32)
+            U8 = ctypes.POINTER(ctypes.c_uint8)
+            bufs = (
                 np.empty((cap,), np.int32), np.empty((cap,), np.int32),
                 np.empty((cap,), np.uint8), np.empty((cap, 5), np.float32),
                 np.empty((cap,), np.int32), np.empty((1,), np.int32),
             )
+            ptrs = (
+                bufs[0].ctypes.data_as(I), bufs[1].ctypes.data_as(I),
+                bufs[2].ctypes.data_as(U8), bufs[3].ctypes.data_as(F),
+                bufs[4].ctypes.data_as(I), bufs[5].ctypes.data_as(I),
+            )
+            self._outbufs = (bufs, ptrs)
             self._outcap = cap
         return self._outbufs
 
@@ -263,16 +274,12 @@ class SortStepSession:
             det_box = np.ascontiguousarray(det_box, np.float32)
         if not det_conf.flags.c_contiguous or det_conf.dtype != np.float32:
             det_conf = np.ascontiguousarray(det_conf, np.float32)
-        o_slot, o_id, o_new, o_pred, o_len, o_nid = self._outs(d)
+        (o_slot, o_id, o_new, o_pred, o_len, o_nid), optrs = self._outs(d)
         F = ctypes.POINTER(ctypes.c_float)
-        I = ctypes.POINTER(ctypes.c_int32)
-        U8 = ctypes.POINTER(ctypes.c_uint8)
         rc = self._lib.sort_step_host(
             *self._pre, next_id,
             det_box.ctypes.data_as(F), det_conf.ctypes.data_as(F), d, epoch,
-            o_slot.ctypes.data_as(I), o_id.ctypes.data_as(I),
-            o_new.ctypes.data_as(U8), o_pred.ctypes.data_as(F),
-            o_len.ctypes.data_as(I), o_nid.ctypes.data_as(I),
+            *optrs,
         )
         if rc == 1:
             raise RuntimeError("track store overflow")
@@ -318,6 +325,7 @@ def sort_step_host(cfg, state, det_box, det_conf, epoch: int):
     out_nid = np.empty((1,), np.int32)
     rc = lib.sort_step_host(
         0 if cfg.method == "iou" else 1,
+        1 if cfg.oriented else 0,
         cfg.iou_threshold, cfg.min_confidence, cfg.max_idle_epochs,
         cfg.position_weight, cfg.velocity_weight, cfg.new_track_threshold,
         f(cons), len(cfg.constraints),
@@ -432,6 +440,7 @@ def visual_step_host(cfg, state, det_box, det_conf, det_feat, det_feat_valid,
         0 if cfg.visual_kind == "euclidean" else 1,
         cfg.visual_min_votes, cfg.visual_minimal_track_length,
         cfg.max_idle_epochs, len(cfg.constraints),
+        1 if cfg.oriented else 0,
     ], np.int32)
     cons = np.ascontiguousarray(
         np.asarray(sorted(cfg.constraints), np.float32).reshape(-1)) \
@@ -517,6 +526,7 @@ class VisualStepSession:
             0 if cfg.visual_kind == "euclidean" else 1,
             cfg.visual_min_votes, cfg.visual_minimal_track_length,
             cfg.max_idle_epochs, len(cfg.constraints),
+            1 if cfg.oriented else 0,
         ], np.int32)
         cons = np.ascontiguousarray(
             np.asarray(sorted(cfg.constraints), np.float32).reshape(-1)) \

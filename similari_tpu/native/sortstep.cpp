@@ -21,6 +21,7 @@
 #include <limits>
 #include <vector>
 
+#include "clip.h"
 #include "kf.h"
 
 extern "C" int lap_solve_max(const float* weights, int R, int C,
@@ -57,6 +58,7 @@ extern "C" {
 int sort_step_host(
     // --- static config ---
     int method,                 // 0 = iou, 1 = maha
+    int oriented,               // rotated boxes: IoU via the f32 clip (clip.h)
     float iou_threshold, float min_confidence, int max_idle_epochs,
     float position_weight, float velocity_weight, float new_track_threshold,
     const float* constraints, int n_constraints,  // (delta, max_dist) pairs, ascending delta
@@ -123,6 +125,12 @@ int sort_step_host(
       const float d2r = std::sqrt(dx * dx + dy * dy) /
                         std::sqrt(rd * rd + 1e-5f);
       if (!(d2r <= allowed)) return 0.0f;
+    }
+    if (method == 0 && oriented) {  // rotated IoU (geometry.py op order)
+      const float iou = similari_clip::rotated_iou_f32(a, b);
+      if (!(iou > 0.0f)) return 0.0f;
+      const float m = iou * cf;
+      return (m >= iou_threshold) ? m : 0.0f;
     }
     if (method == 0) {  // IoU (aligned)
       const float aw = a[3] * a[4], tw = b[3] * b[4];

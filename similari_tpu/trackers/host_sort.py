@@ -112,6 +112,16 @@ def _host_weights(cfg: SortConfig, state: SortState, det_box, det_conf,
     else:
         compat = True
 
+    if cfg.method == "iou" and cfg.oriented:
+        # rotated IoU via the f32 boundary-integral clip (host_geometry is a
+        # literal transliteration of ops/geometry.py for id-exact parity)
+        from .host_geometry import rotated_iou_matrix_np
+
+        iou, valid = rotated_iou_matrix_np(det_box, pred)
+        m = iou * conf[:, None]
+        valid &= m >= np.float32(cfg.iou_threshold)
+        return np.where(valid & compat, m, np.float32(0.0))
+
     if cfg.method == "iou":
         # axis-aligned intersection (`geometry.aligned_intersection`)
         aw = det_box[:, 3] * det_box[:, 4]

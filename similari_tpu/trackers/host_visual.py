@@ -18,8 +18,10 @@ whose leaves are ndarrays:
 * gallery maintenance (quality-sorted eviction, collect gates, first-
   feature bypass) and the decomposed-block Kalman update.
 
-Scope: axis-aligned boxes (oriented routes to the device clip kernel) and
-f32 feature precision (bf16 is a throughput knob for the device engine).
+Scope: f32 feature precision (bf16 is a throughput knob for the device
+engine).  Boxes may be aligned or oriented — the rotated IoU uses the f32
+boundary-integral clip of `host_geometry.py`, the literal transliteration
+of the device kernel (`ops/geometry.py`), so parity stays id-exact.
 Own-area shares, when gated on, use the exact host polygon oracle
 (`utils/clipping.py`) — on this engine there is no reason to use the
 device's truncated inclusion-exclusion approximation.
@@ -104,7 +106,13 @@ def host_visual_step(
 
     # ---- positional weights (`visual_sort/metric.rs:156-198`) ------------
     conf = np.maximum(det_conf, np.float32(cfg.positional_min_confidence))
-    if cfg.positional_kind == "iou":
+    if cfg.positional_kind == "iou" and cfg.oriented:
+        from .host_geometry import rotated_iou_matrix_np
+
+        iou, pv = rotated_iou_matrix_np(det_box, pred)
+        m = iou * conf[:, None]
+        p_valid = pv & (m >= np.float32(cfg.iou_threshold)) & compat
+    elif cfg.positional_kind == "iou":
         aw = det_box[:, 3] * det_box[:, 4]
         tw = pred[:, 3] * pred[:, 4]
         iw = (np.minimum(det_box[:, 0:1] + aw[:, None] * 0.5,

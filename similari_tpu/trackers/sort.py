@@ -164,10 +164,11 @@ class Sort:
         assignment_backend: str = "auto",
         engine: str = "auto",
     ):
-        """engine: "host" / "auto" = native-or-NumPy per-call fast path for
-        axis-aligned configs (per-call dispatch overhead dwarfs the math
-        there — trackers/host_sort.py); "device" = always the jitted step.
-        Oriented boxes always run on the device clip kernel regardless."""
+        """engine: "host" / "auto" = native-or-NumPy per-call fast path
+        (per-call dispatch overhead dwarfs the math there —
+        trackers/host_sort.py), covering aligned AND oriented boxes (the
+        host clip mirrors the device kernel's f32 op order); "device" =
+        always the jitted step."""
         assert bbox_history > 0
         assert engine in ("auto", "host", "device")
         self._engine = engine
@@ -190,6 +191,10 @@ class Sort:
         self._wasted_bin: List[WastedSortTrack] = []
         self._auto_waste_counter = DEFAULT_AUTO_WASTE_PERIODICITY
         self._next_track_id = 0  # global like the reference's Sort.track_id
+        self._host_cfgs = {
+            False: dataclasses.replace(self._cfg, oriented=False),
+            True: dataclasses.replace(self._cfg, oriented=True),
+        }
 
     def _step_for(self, oriented: bool):
         return compiled_sort_step(
@@ -232,28 +237,34 @@ class Sort:
             self._next_epoch(scene_id)
             return []
         d = len(bboxes)
-        det_box = np.zeros((d, 5), np.float32)
-        det_conf = np.zeros((d,), np.float32)
-        customs: List[Optional[int]] = []
-        for i, (bb, cid) in enumerate(bboxes):
-            det_box[i] = bb.to_vec5()
-            det_conf[i] = bb.confidence
-            customs.append(cid)
+        # list-of-lists -> one np.asarray beats d separate to_vec5() arrays
+        det_box = np.asarray(
+            [[bb.xc, bb.yc, bb.angle or 0.0, bb.aspect, bb.height]
+             for bb, _ in bboxes], np.float32)
+        det_conf = np.asarray([bb.confidence for bb, _ in bboxes], np.float32)
+        customs: List[Optional[int]] = [cid for _, cid in bboxes]
 
         epoch, track_id, pred_box, length, slot = self.predict_arrays(
             scene_id, det_box, det_conf, customs
         )
 
+        # tolist() batches the ndarray->Python conversion (one C call per
+        # column instead of 6 scalar float() casts per output box)
+        pb = pred_box.tolist()
+        ob = det_box.tolist()
+        cf = det_conf.tolist()
+        tid = track_id.tolist()
+        ln = length.tolist()
         res: List[SortTrack] = []
         for i in range(d):
             res.append(
                 SortTrack(
-                    id=int(track_id[i]),
+                    id=tid[i],
                     epoch=epoch,
-                    predicted_bbox=_box_from_row(pred_box[i], float(det_conf[i])),
-                    observed_bbox=_box_from_row(det_box[i], float(det_conf[i])),
+                    predicted_bbox=Universal2DBox.from_vec5(pb[i], cf[i]),
+                    observed_bbox=Universal2DBox.from_vec5(ob[i], cf[i]),
                     scene_id=scene_id,
-                    length=int(length[i]),
+                    length=ln[i],
                     voting_type=VotingType.Positional,
                     custom_object_id=customs[i],
                 )
@@ -286,16 +297,21 @@ class Sort:
         d = det_box.shape[0]
         store = self._get_store(scene_id)
         store.grow(store.active_count + d)
-        store.oriented = store.oriented or bool((det_box[:, 2] != 0).any())
+        was_oriented = store.oriented
+        store.oriented = was_oriented or bool((det_box[:, 2] != 0).any())
+        if store.oriented != was_oriented:
+            store.session = None  # sessions bake the oriented flag
 
-        # oriented boxes ALWAYS use the device clip kernel — the host steps
-        # have no rotated-IoU path, and silently ignoring angles would be
-        # wrong tracking, so "host" means "host where the host can be exact"
-        use_host = self._engine in ("host", "auto") and not store.oriented
+        # the host engine covers oriented boxes too (scalar f32 clip with
+        # the device kernel's exact op order — native/clip.h,
+        # trackers/host_geometry.py), so "auto" never pays the per-call
+        # device dispatch floor
+        use_host = self._engine in ("host", "auto")
         if use_host:
             from .. import native
             from . import host_sort
 
+            hcfg = self._host_cfgs[store.oriented]
             if not store.host:
                 store.state = host_sort.state_to_host(store.state)
                 store.host = True
@@ -303,7 +319,7 @@ class Sort:
             if native.sort_step_available():
                 if store.session is None:
                     store.session = native.SortStepSession(
-                        self._cfg, store.state)
+                        hcfg, store.state)
                 nid, slot, track_id, is_new, pred_box, length = \
                     store.session.step(
                         det_box, det_conf, epoch, self._next_track_id)
@@ -313,7 +329,7 @@ class Sort:
                     store.state, next_id=np.int32(self._next_track_id)
                 )
                 state, hout = host_sort.host_sort_step(
-                    self._cfg, state, det_box, det_conf, epoch
+                    hcfg, state, det_box, det_conf, epoch
                 )
                 store.state = state
                 slot = hout["slot"]
@@ -325,8 +341,9 @@ class Sort:
             self._next_track_id = nid
             store.active_count += int(is_new.sum())
             if customs is not None:
+                sl = slot.tolist()
                 for i in range(d):
-                    s = int(slot[i])
+                    s = sl[i]
                     cid = customs[i]
                     store.custom_ids[s] = -1 if cid is None else cid
                     store.has_custom[s] = cid is not None
@@ -372,8 +389,9 @@ class Sort:
         self._next_track_id = int(np.asarray(state.next_id))
         store.active_count += int(is_new.sum())
         if customs is not None:
+            sl = slot.tolist()
             for i in range(d):
-                s = int(slot[i])
+                s = sl[i]
                 cid = customs[i]
                 store.custom_ids[s] = -1 if cid is None else cid
                 store.has_custom[s] = cid is not None

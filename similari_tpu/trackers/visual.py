@@ -298,9 +298,9 @@ class VisualSort:
         engine: str = "auto",
     ):
         """engine: "host" / "auto" = native-or-NumPy per-call fast path
-        (trackers/host_visual.py) for axis-aligned f32 configs; "device" =
-        always the jitted step.  Oriented boxes / bf16 galleries always run
-        on the device engine regardless."""
+        (trackers/host_visual.py) for f32 configs, aligned AND oriented
+        (the host clip mirrors the device kernel); "device" = always the
+        jitted step.  bf16 galleries always run on the device engine."""
         assert engine in ("auto", "host", "device")
         self._engine = engine
         opts = opts or VisualSortOptions()
@@ -317,6 +317,10 @@ class VisualSort:
         self._wasted_bin: List[WastedVisualSortTrack] = []
         self._auto_waste_counter = DEFAULT_AUTO_WASTE_PERIODICITY
         self._next_track_id = 0
+        self._host_cfgs = {
+            False: dataclasses.replace(self._cfg, oriented=False),
+            True: dataclasses.replace(self._cfg, oriented=True),
+        }
 
     def _step_for(self, oriented: bool):
         return compiled_visual_step(
@@ -346,9 +350,7 @@ class VisualSort:
     def predict(self, observation_set: VisualSortObservationSet) -> List[SortTrack]:
         return self.predict_with_scene(0, observation_set)
 
-    def predict_with_scene(
-        self, scene_id: int, observation_set: VisualSortObservationSet
-    ) -> List[SortTrack]:
+    def _tick_auto_waste(self):
         if self._auto_waste_counter == 0:
             self._auto_waste()
             self._auto_waste_counter = getattr(
@@ -357,9 +359,13 @@ class VisualSort:
         else:
             self._auto_waste_counter -= 1
 
+    def predict_with_scene(
+        self, scene_id: int, observation_set: VisualSortObservationSet
+    ) -> List[SortTrack]:
         observations = observation_set.observations
-        epoch = self._next_epoch(scene_id)
         if not observations:
+            self._tick_auto_waste()
+            self._next_epoch(scene_id)
             return []
 
         d = len(observations)
@@ -377,83 +383,147 @@ class VisualSort:
                 np.float32,
             )
         else:
-            own_area = np.ones((d,), np.float32)
+            own_area = None
 
         feat_dim = max(
             [self._feature_dim]
             + [len(o.feature) for o in observations if o.feature is not None]
         )
         feat_dim = max(feat_dim, 1)
-        if feat_dim != self._feature_dim:
-            self._feature_dim = feat_dim
-            for store in self._scenes.values():
-                store.grow_feature_dim(feat_dim)
-
-        dpad = _pad_pow2(d)
-        box = np.zeros((dpad, 5), np.float32)
-        conf = np.zeros((dpad,), np.float32)
-        valid = np.zeros((dpad,), bool)
-        feat = np.zeros((dpad, feat_dim), np.float32)
-        feat_valid = np.zeros((dpad,), bool)
-        quality = np.zeros((dpad,), np.float32)
-        oa = np.ones((dpad,), np.float32)
+        box = np.zeros((d, 5), np.float32)
+        conf = np.zeros((d,), np.float32)
+        feat = np.zeros((d, feat_dim), np.float32)
+        feat_valid = np.zeros((d,), bool)
+        quality = np.zeros((d,), np.float32)
+        customs: List[Optional[int]] = []
         for i, o in enumerate(observations):
             box[i] = o.bounding_box.to_vec5()
             conf[i] = o.bounding_box.confidence
-            valid[i] = True
             quality[i] = 1.0 if o.feature_quality is None else o.feature_quality
-            oa[i] = own_area[i] if use_own_area else 1.0
             if o.feature is not None:
                 feat[i, : len(o.feature)] = o.feature
                 feat_valid[i] = True
+            customs.append(o.custom_object_id)
+
+        epoch, track_id, pred_box, length, slot, vt = self.predict_arrays(
+            scene_id, box, conf, feat, feat_valid, quality,
+            customs=customs, own_area=own_area,
+        )
+
+        res: List[SortTrack] = []
+        for i, o in enumerate(observations):
+            res.append(
+                SortTrack(
+                    id=int(track_id[i]),
+                    epoch=epoch,
+                    predicted_bbox=_box_from_row(pred_box[i], float(conf[i])),
+                    observed_bbox=_box_from_row(box[i], float(conf[i])),
+                    scene_id=scene_id,
+                    length=int(length[i]),
+                    voting_type=(
+                        VotingType.Visual if vt[i] == 0
+                        else VotingType.Positional
+                    ),
+                    custom_object_id=o.custom_object_id,
+                )
+            )
+        return res
+
+    def predict_arrays(
+        self,
+        scene_id: int,
+        det_box: np.ndarray,  # [N, 5] vec5 (xc, yc, angle, aspect, height)
+        det_conf: np.ndarray,  # [N]
+        det_feat: Optional[np.ndarray] = None,  # [N, F] f32 (None = no ReID)
+        det_feat_valid: Optional[np.ndarray] = None,  # [N] bool
+        det_quality: Optional[np.ndarray] = None,  # [N] (None = 1.0)
+        customs: Optional[Sequence[Optional[int]]] = None,
+        own_area: Optional[np.ndarray] = None,  # [N] shares (None = compute
+        #                                         when gating is enabled)
+    ):
+        """Array fast path mirroring `Sort.predict_arrays` (round-4 VERDICT
+        item 2): no per-observation Python objects on the hot path.
+
+        Returns (epoch, track_id[N], pred_box[N,5], length[N], slot[N],
+        voting_type[N]) with voting_type 0 = Visual, 1 = Positional (new
+        tracks report Positional, like the reference's `SortTrack`).
+        """
+        self._tick_auto_waste()
+        epoch = self._next_epoch(scene_id)
+        d = det_box.shape[0]
+        if d == 0:
+            z = np.zeros((0,), np.int32)
+            return epoch, z, np.zeros((0, 5), np.float32), z, z, z
+
+        if det_feat is None:
+            det_feat = np.zeros((d, max(self._feature_dim, 1)), np.float32)
+            det_feat_valid = np.zeros((d,), bool)
+        if det_feat_valid is None:
+            det_feat_valid = np.ones((d,), bool)
+        if det_quality is None:
+            det_quality = np.ones((d,), np.float32)
+        feat_dim = max(det_feat.shape[1], self._feature_dim, 1)
+        if feat_dim != self._feature_dim:
+            self._feature_dim = feat_dim
+            for st in self._scenes.values():
+                st.grow_feature_dim(feat_dim)
+        if det_feat.shape[1] < feat_dim:
+            det_feat = np.pad(
+                det_feat, ((0, 0), (0, feat_dim - det_feat.shape[1])))
+
+        gating = self._cfg.own_area_use + self._cfg.own_area_collect > 0.0
 
         store = self._get_store(scene_id)
         store.grow(store.active_count + d)
-        store.oriented = store.oriented or bool((box[:d, 2] != 0).any())
+        was_oriented = store.oriented
+        store.oriented = was_oriented or bool((det_box[:, 2] != 0).any())
+        if store.oriented != was_oriented:
+            store.session = None  # sessions bake the oriented flag
 
-        # oriented boxes and bf16 galleries always use the device engine
-        # (the host cascade has no rotated-IoU path and computes f32
-        # distances); "host" means "host where the host can be exact"
+        # the host engine covers oriented boxes (f32 clip mirroring the
+        # device kernel, native/clip.h); bf16 galleries still force the
+        # device engine ("host" means "host where the host can be exact")
         use_host = (
             self._engine in ("host", "auto")
-            and not store.oriented
             and self._cfg.feature_precision == "f32"
         )
         if use_host:
             from .. import native
             from . import host_sort, host_visual
 
+            hcfg = self._host_cfgs[store.oriented]
             if not store.host:
                 store.state = host_sort.state_to_host(store.state)
                 store.host = True
                 store.session = None
             # own-area on the host engine: always the exact polygon oracle
-            if (
-                self._cfg.own_area_use + self._cfg.own_area_collect > 0.0
-            ) and not use_own_area:
-                oa[:d] = np.asarray(
+            if gating and own_area is None:
+                own_area = np.asarray(
                     exclusively_owned_areas_normalized_shares(
-                        [o.bounding_box for o in observations]
+                        [_box_from_row(det_box[i], float(det_conf[i]))
+                         for i in range(d)]
                     ),
                     np.float32,
                 )
+            oa = (own_area if own_area is not None
+                  else np.ones((d,), np.float32))
             if (d <= 32 and native.visual_step_available()
                     and store.state.feats.dtype == np.float32):
                 if store.session is None:
                     store.session = native.VisualStepSession(
-                        self._cfg, store.state)
+                        hcfg, store.state)
                 (nid, slot, track_id, is_new, pred_box, length, vt) = \
                     store.session.step(
-                        box[:d], conf[:d], feat[:d], feat_valid[:d],
-                        quality[:d], oa[:d], epoch, self._next_track_id)
+                        det_box, det_conf, det_feat, det_feat_valid,
+                        det_quality, oa, epoch, self._next_track_id)
                 store.state.next_id[...] = nid
             else:
                 state = dataclasses.replace(
                     store.state, next_id=np.int32(self._next_track_id)
                 )
                 state, hout = host_visual.host_visual_step(
-                    self._cfg, state, box[:d], conf[:d], feat[:d],
-                    feat_valid[:d], quality[:d], oa[:d], epoch,
+                    hcfg, state, det_box, det_conf, det_feat,
+                    det_feat_valid, det_quality, oa, epoch,
                 )
                 store.state = state
                 slot = hout["slot"]
@@ -472,6 +542,22 @@ class VisualSort:
                 store.state = host_sort.state_to_device(store.state)
                 store.host = False
                 store.session = None
+            dpad = _pad_pow2(d)
+            box = np.zeros((dpad, 5), np.float32)
+            conf = np.zeros((dpad,), np.float32)
+            valid = np.zeros((dpad,), bool)
+            feat = np.zeros((dpad, feat_dim), np.float32)
+            fv = np.zeros((dpad,), bool)
+            quality = np.zeros((dpad,), np.float32)
+            oa = np.ones((dpad,), np.float32)
+            box[:d] = det_box
+            conf[:d] = det_conf
+            valid[:d] = True
+            feat[:d] = det_feat
+            fv[:d] = det_feat_valid
+            quality[:d] = det_quality
+            if own_area is not None:
+                oa[:d] = own_area
             store.state = dataclasses.replace(
                 store.state, next_id=jnp.int32(self._next_track_id)
             )
@@ -482,7 +568,7 @@ class VisualSort:
                 jnp.asarray(conf),
                 jnp.asarray(valid),
                 jnp.asarray(feat),
-                jnp.asarray(feat_valid),
+                jnp.asarray(fv),
                 jnp.asarray(quality),
                 jnp.asarray(oa),
                 jnp.int32(epoch),
@@ -502,29 +588,16 @@ class VisualSort:
             self._next_track_id = int(np.asarray(state.next_id))
             store.active_count += int(is_new.sum())
 
-        res: List[SortTrack] = []
-        for i, o in enumerate(observations):
-            s = int(slot[i])
-            cid = o.custom_object_id
-            store.custom_ids[s] = -1 if cid is None else cid
-            store.has_custom[s] = cid is not None
-            res.append(
-                SortTrack(
-                    id=int(track_id[i]),
-                    epoch=epoch,
-                    predicted_bbox=_box_from_row(pred_box[i], float(conf[i])),
-                    observed_bbox=_box_from_row(box[i], float(conf[i])),
-                    scene_id=scene_id,
-                    length=int(length[i]),
-                    voting_type=(
-                        VotingType.Positional
-                        if is_new[i]
-                        else (VotingType.Visual if vt[i] == 0 else VotingType.Positional)
-                    ),
-                    custom_object_id=cid,
-                )
-            )
-        return res
+        # new tracks report Positional voting (reference `SortTrack` contract)
+        vt = np.where(is_new, np.int32(1), vt.astype(np.int32))
+        if customs is not None:
+            sl = slot.tolist()
+            for i in range(d):
+                s = sl[i]
+                cid = customs[i]
+                store.custom_ids[s] = -1 if cid is None else cid
+                store.has_custom[s] = cid is not None
+        return epoch, track_id, pred_box, length, slot, vt
 
     def _get_store(self, scene_id: int) -> _VisualSceneStore:
         if scene_id not in self._scenes:

@@ -238,10 +238,21 @@ class Universal2DBox:
 
     @staticmethod
     def from_vec5(v, confidence: float = 1.0) -> "Universal2DBox":
-        angle = float(v[2])
-        b = Universal2DBox(
-            float(v[0]), float(v[1]), None if angle == 0.0 else angle, float(v[3]), float(v[4])
+        # hot on the interactive result path (2 boxes per output track):
+        # one tolist() call converts the row, object.__new__ skips __init__
+        if isinstance(v, np.ndarray):
+            v = v.tolist()
+        xc, yc, angle, aspect, height = (
+            v if type(v) is list and type(v[0]) is float
+            else (float(v[0]), float(v[1]), float(v[2]), float(v[3]),
+                  float(v[4]))
         )
+        b = object.__new__(Universal2DBox)
+        b.xc = xc
+        b.yc = yc
+        b.angle = None if angle == 0.0 else angle
+        b.aspect = aspect
+        b.height = height
         b.confidence = float(confidence)
         return b
 

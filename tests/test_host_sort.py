@@ -104,7 +104,9 @@ def test_host_waste_and_idle_api():
     assert tracker.shard_stats() == [0]
 
 
-def test_auto_engine_flips_to_device_on_oriented():
+def test_auto_engine_stays_host_on_oriented():
+    """Round 4: the host engine covers oriented boxes (f32 clip), so a
+    rotated box no longer kicks the scene to the per-call device step."""
     method = PositionalMetricType.iou(0.3)
     tracker = Sort(shards=1, bbox_history=1, max_idle_epochs=5,
                    method=method, engine="auto")
@@ -113,13 +115,64 @@ def test_auto_engine_flips_to_device_on_oriented():
     conf = np.ones((2,), np.float32)
     tracker.predict_arrays(0, boxes, conf)
     assert tracker._scenes[0].host
-    boxes[0, 2] = 0.4  # rotated box appears -> device engine takes over
+    boxes[0, 2] = 0.4  # rotated box appears -> host engine keeps the scene
     _, ids, _, _, _ = tracker.predict_arrays(0, boxes, conf)
-    assert not tracker._scenes[0].host
+    assert tracker._scenes[0].host
+    assert tracker._scenes[0].oriented
     assert len(ids) == 2
-    # and tracks survived the engine switch
+    # and the rotated box still matches its own track (same clip semantics)
     _, ids2, _, _, _ = tracker.predict_arrays(0, boxes, conf)
     np.testing.assert_array_equal(ids2, ids)
+
+
+def _oriented_stream(seed, steps, n, spread=800.0, churn=0):
+    rng = np.random.default_rng(seed)
+    frames = _stream(seed, steps, n, spread=spread, churn=churn)
+    out = []
+    for boxes, conf in frames:
+        boxes = boxes.copy()
+        boxes[:, 2] = rng.uniform(0.0, 1.2, (n,)).astype(np.float32)
+        out.append((boxes, conf))
+    return out
+
+
+@pytest.mark.parametrize("method_kind", ["iou", "maha"])
+@pytest.mark.parametrize("seed", [0, 2])
+def test_host_matches_device_oriented(method_kind, seed):
+    method = (PositionalMetricType.iou(0.3) if method_kind == "iou"
+              else PositionalMetricType.maha())
+    frames = _oriented_stream(seed, steps=10, n=20, churn=4)
+    _, host = _run("host", method, frames)
+    _, dev = _run("device", method, frames)
+    for s, ((hi, hp, hl, hs), (di, dp, dl, ds)) in enumerate(zip(host, dev)):
+        np.testing.assert_array_equal(hi, di, err_msg=f"ids frame {s}")
+        np.testing.assert_array_equal(hl, dl, err_msg=f"lengths frame {s}")
+        np.testing.assert_array_equal(hs, ds, err_msg=f"slots frame {s}")
+        np.testing.assert_allclose(hp, dp, rtol=2e-4, atol=1e-3,
+                                   err_msg=f"pred frame {s}")
+
+
+def test_host_matches_device_fuzzed_oriented_configs():
+    """Oriented config fuzz (round-4 VERDICT item 1): id-exact parity across
+    random thresholds/idle/churn with rotated boxes on every frame."""
+    rng = np.random.default_rng(321)
+    for trial in range(6):
+        kind = "iou" if trial % 2 == 0 else "maha"
+        method = (PositionalMetricType.iou(float(rng.uniform(0.1, 0.5)))
+                  if kind == "iou" else PositionalMetricType.maha())
+        stc = None
+        if trial % 3 == 0:
+            stc = SpatioTemporalConstraints()
+            stc.add_constraints([(1, float(rng.uniform(0.5, 2.0)))])
+        frames = _oriented_stream(2000 + trial, steps=8,
+                                  n=int(rng.integers(5, 32)),
+                                  churn=int(rng.integers(0, 4)))
+        kw = dict(constraints=stc, initial_capacity=int(rng.choice([8, 64])))
+        _, host = _run("host", method, frames, **kw)
+        _, dev = _run("device", method, frames, **kw)
+        for s, ((hi, *_a), (di, *_b)) in enumerate(zip(host, dev)):
+            np.testing.assert_array_equal(
+                hi, di, err_msg=f"trial {trial} frame {s}")
 
 
 def test_host_matches_device_fuzzed_configs():

@@ -96,6 +96,55 @@ def test_host_visual_matches_device_step(cfg_ix, seed):
     assert int(sh.next_id) == int(sx.next_id)
 
 
+ORIENTED_CFG = VisualConfig(
+    positional_kind="iou", oriented=True, assignment="hungarian",
+    visual_kind="euclidean", visual_threshold=5.0,
+    visual_minimal_track_length=2, max_idle_epochs=5,
+)
+
+
+@pytest.mark.parametrize("d0", [10, 40])  # <=32 native path, >32 NumPy path
+@pytest.mark.parametrize("seed", [0, 1])
+def test_host_visual_matches_device_step_oriented(d0, seed):
+    """Round-4 VERDICT item 1 (visual twin): oriented boxes through the host
+    cascade must be id-exact with the jitted step's rotated clip."""
+    cfg = ORIENTED_CFG
+    f, t, k = 16, 512, 3
+    rng = np.random.default_rng(seed + 77)
+    base_angle = rng.uniform(0.0, 1.2, (d0,)).astype(np.float32)
+    frames = []
+    for box, conf, feat, fvalid, qual in stream(seed, steps=8, d=d0, f=f,
+                                                drop=0.0):
+        box = box.copy()
+        n = len(box)
+        # stable per-object angle + small drift: tracks stay matchable, so
+        # the test exercises rotated matching, not just track creation
+        box[:, 2] = base_angle[:n] + rng.uniform(
+            -0.05, 0.05, (n,)).astype(np.float32)
+        frames.append((box, conf, feat, fvalid, qual))
+
+    sx = new_visual_state(t, 2, k, f)
+    sh = host_sort.state_to_host(new_visual_state(t, 2, k, f))
+    for e, (box, conf, feat, fvalid, qual) in enumerate(frames, start=1):
+        n = len(box)
+        oa = np.ones((n,), np.float32)
+        sx, ox = visual_step(
+            cfg, sx, jnp.asarray(box), jnp.asarray(conf),
+            jnp.ones((n,), bool), jnp.asarray(feat), jnp.asarray(fvalid),
+            jnp.asarray(qual), jnp.asarray(oa), jnp.int32(e))
+        sh, oh = host_visual.host_visual_step(
+            cfg, sh, box, conf, feat, fvalid, qual, oa, e)
+        np.testing.assert_array_equal(
+            oh["track_id"], np.asarray(ox.track_id), err_msg=f"epoch {e}")
+        np.testing.assert_array_equal(
+            oh["voting_type"], np.asarray(ox.voting_type),
+            err_msg=f"epoch {e}")
+        np.testing.assert_array_equal(oh["slot"], np.asarray(ox.slot))
+    np.testing.assert_array_equal(sh.active, np.asarray(sx.active))
+    np.testing.assert_array_equal(sh.track_id, np.asarray(sx.track_id))
+    assert int(sh.next_id) == int(sx.next_id)
+
+
 def test_visualsort_frame_size_crosses_native_threshold():
     """Regression (round-3 self-review): a frame >32 dets (NumPy fallback)
     followed by one <=32 (native session) crashed on next_id item assignment
@@ -156,9 +205,11 @@ def test_sort_predict_arrays_results_stable_across_calls():
     np.testing.assert_array_equal(pred1, pred1_snapshot)
 
 
-def test_engine_host_with_oriented_uses_device_semantics():
-    """Regression (round-3 self-review): engine="host" with rotated boxes must
-    route to the device clip kernel, not silently ignore the angles."""
+def test_engine_host_with_oriented_matches_device():
+    """Regression (round-3 self-review, upgraded in round 4): engine="host"
+    with rotated boxes must apply the true rotated IoU — since round 4 via
+    the host f32 clip (host_geometry.py), id-exact with the device kernel —
+    never silently ignore the angles."""
     from similari_tpu.trackers import PositionalMetricType, Sort
 
     def run(engine):
