@@ -37,8 +37,10 @@ ORIENTED_REF_MS = {10: 0.108414, 100: 1.601062, 500: 18.945655}
 FEATURE_REF_MS = {10: 0.101465, 100: 4.020673, 500: 61.716729}
 # VisualSORT per-call (512-d, gallery<=5), benchmarks.md:93-109 (ns/iter)
 VISUAL_REF_MS = {10: 0.447903, 50: 2.249694, 100: 5.775469}
-# BatchSORT per-call (one scene x N), benchmarks.md:116-120
+# BatchSORT per-call (one scene x N), benchmarks.md:116-120 (IoU) and
+# :127-131 (Maha)
 BATCH_REF_MS = {10: 0.106876, 100: 1.616542, 500: 20.454230}
+BATCH_MAHA_REF_MS = {10: 0.114592, 100: 1.533445, 500: 18.270742}
 
 
 def log(*a):
@@ -164,6 +166,156 @@ def main():
         log(f"feat {n:4d} objects: {ms:8.3f} ms/predict "
             f"({1e3 / ms:8.1f} FPS)  reference {ref:.3f} ms [x{ref/ms:.2f}]")
 
+    # ---- generic store search (reference benches/simple_search.rs +
+    # track_search.rs workloads; no published numbers in benchmarks.md, so
+    # the rows record OUR latency at the reference's shapes) --------------
+    from similari_tpu.core.examples import (
+        BatchedSimpleMetric, SimpleAttributeUpdate, SimpleAttrs,
+    )
+    from similari_tpu.core.store import TrackStoreBuilder
+    from similari_tpu.core.track import ObservationBuilder
+
+    def store_query_ms(vec_len, count, track_len=1, use_arrays=False,
+                       reps=20):
+        rng = np.random.default_rng(5)
+        db = (TrackStoreBuilder(4).default_attributes(SimpleAttrs())
+              .metric(BatchedSimpleMetric()).build())
+        for i in range(count):
+            for k in range(track_len):
+                db.add(i, 0, 1.0,
+                       rng.uniform(0, 1, vec_len).astype(np.float32),
+                       SimpleAttributeUpdate() if k == 0 else None)
+
+        def make_cand():
+            b = db.new_track(count + 1)
+            for k in range(track_len):
+                ob = (ObservationBuilder(0).observation_attributes(1.0)
+                      .observation(rng.uniform(0, 1, vec_len)
+                                   .astype(np.float32)))
+                if k == 0:  # SimpleAttrs update is one-shot
+                    ob = ob.track_attributes_update(SimpleAttributeUpdate())
+                b.observation(ob.build())
+            return b.build()
+
+        cand = make_cand()
+        if use_arrays:
+            db.foreign_track_distances_arrays(cand, 0, True)  # build index
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            if use_arrays:
+                db.foreign_track_distances_arrays(cand, 0, True)
+            else:
+                d, e = db.foreign_track_distances([cand], 0, True)
+                assert not e
+            times.append(time.perf_counter() - t0)
+        return statistics.median(times) * 1e3
+
+    for vec_len, count in ((128, 1000), (128, 10000), (512, 1000),
+                           (512, 10000)):
+        ms_rec = store_query_ms(vec_len, count, reps=8 if count >= 10000
+                                else 20)
+        ms_arr = store_query_ms(vec_len, count, use_arrays=True)
+        rows[f"store_search_{vec_len}_{count}_ms"] = round(ms_rec, 3)
+        rows[f"store_search_{vec_len}_{count}_arrays_ms"] = round(ms_arr, 3)
+        log(f"store {vec_len:4d}-d x {count:6d} tracks: {ms_rec:8.3f} ms "
+            f"records / {ms_arr:7.3f} ms arrays per query")
+    ms_rec = store_query_ms(256, 100, track_len=30, reps=10)
+    ms_arr = store_query_ms(256, 100, track_len=30, use_arrays=True)
+    rows["track_search_256_30_100_ms"] = round(ms_rec, 3)
+    rows["track_search_256_30_100_arrays_ms"] = round(ms_arr, 3)
+    log(f"track search 256-d x 30 obs x 100 tracks: {ms_rec:.3f} ms records"
+        f" / {ms_arr:.3f} ms arrays")
+
+    # ---- Kalman filter + own-area shares (reference benches/kalman_bbox.rs
+    # :100k predict/update steps per iter, benches/kalman_2d_point.rs,
+    # benches/bbox_own_areas.rs — no published numbers; rows record OURS) --
+    from similari_tpu.utils.bbox import Universal2DBox
+    from similari_tpu.utils.kalman import (
+        Point2DKalmanFilter, Universal2DBoxKalmanFilter,
+    )
+
+    kf = Universal2DBoxKalmanFilter()
+    rng = np.random.default_rng(6)
+    st = kf.initiate(Universal2DBox(0.0, 0.0, 0.0, 2.0, 5.0))
+    n_steps = 100_000
+    zs = rng.normal(size=(n_steps, 2)).astype(np.float32)
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        st = kf.predict(st)
+        st = kf.update(st, Universal2DBox(
+            float(zs[i, 0]), float(zs[i, 1]), 0.0, 2.0, 5.0))
+    rows["kalman_bbox_100k_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+    log(f"kalman bbox 100k predict/update: {rows['kalman_bbox_100k_ms']} ms"
+        " (reference bench exists, no published number)")
+    seq = np.zeros((n_steps, 5), np.float32)
+    seq[:, 0] = zs[:, 0]
+    seq[:, 1] = zs[:, 1]
+    seq[:, 3] = 2.0
+    seq[:, 4] = 5.0
+    kf.filter_sequence(seq[:100])  # warm (builds native lib if needed)
+    t0 = time.perf_counter()
+    kf.filter_sequence(seq)
+    rows["kalman_bbox_100k_bulk_ms"] = round(
+        (time.perf_counter() - t0) * 1e3, 2)
+    log(f"kalman bbox 100k bulk filter_sequence: "
+        f"{rows['kalman_bbox_100k_bulk_ms']} ms")
+
+    pkf = Point2DKalmanFilter()
+    ps = pkf.initiate(0.0, 0.0)
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        ps = pkf.predict(ps)
+        ps = pkf.update(ps, float(zs[i, 0]), float(zs[i, 1]))
+    rows["kalman_point_100k_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+    log(f"kalman point 100k predict/update: {rows['kalman_point_100k_ms']} ms")
+
+    from similari_tpu.utils.clipping import (
+        exclusively_owned_areas_normalized_shares,
+    )
+
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    from similari_tpu.ops.ownarea import own_area_shares
+
+    for n in (10, 25, 50, 100):
+        rng = np.random.default_rng(7)
+        boxes = [
+            Universal2DBox(float(i + rng.uniform(0, 20)),
+                           float(i + rng.uniform(0, 20)), 0.0, 1.0,
+                           float(10 + rng.uniform(0, 5)))
+            for i in range(n)
+        ]
+        # production path: the device inclusion-exclusion kernel
+        # (ops/ownarea.py — fused into the jitted visual step); the host f64
+        # polygon oracle (utils/clipping.py) is the exactness reference and
+        # deliberately unoptimized, measured only at n=10 for the record
+        vec = np.asarray([[b.xc, b.yc, 0.0, b.aspect, b.height]
+                          for b in boxes], np.float32)
+        fn = jax.jit(partial(own_area_shares, order=3, neighbors=8))
+        bj = jnp.asarray(vec)
+        vj = jnp.ones((n,), bool)
+        np.asarray(fn(bj, vj))  # compile
+        t0 = time.perf_counter()
+        reps_oa = 20
+        for _ in range(reps_oa):
+            out = fn(bj, vj)
+        np.asarray(out)
+        rows[f"own_areas_{n}_ms"] = round(
+            (time.perf_counter() - t0) / reps_oa * 1e3, 3)
+        if n == 10:
+            exclusively_owned_areas_normalized_shares(boxes)  # warm
+            t0 = time.perf_counter()
+            for _ in range(5):
+                exclusively_owned_areas_normalized_shares(boxes)
+            rows["own_areas_10_oracle_ms"] = round(
+                (time.perf_counter() - t0) / 5 * 1e3, 3)
+    log("own-area shares (device kernel) ms/frame: " + ", ".join(
+        f"{n}:{rows[f'own_areas_{n}_ms']}" for n in (10, 25, 50, 100))
+        + f"; f64 oracle at 10: {rows['own_areas_10_oracle_ms']}")
+
     # ---- interactive VisualSORT (host engine, 512-d, gallery 3) ----------
     # reference rows: benchmarks.md:93-109 (per-call cargo bench, 4-core CPU)
     from similari_tpu import (
@@ -216,13 +368,15 @@ def main():
     from similari_tpu import BatchSort, SortPredictionBatchRequest
     from similari_tpu.trackers.constraints import SpatioTemporalConstraints
 
-    for n in (10, 100, 500):
+    for kind, n in (("iou", 10), ("iou", 100), ("iou", 500),
+                    ("maha", 10), ("maha", 100), ("maha", 500)):
         rng = np.random.default_rng(4)
         xy = rng.uniform(0, 1000.0 * n, (n, 2)).astype(np.float32)
         stc = SpatioTemporalConstraints()
         stc.add_constraints([(1, 1.0)])
         btr = BatchSort(1, 1, bbox_history=10, max_idle_epochs=1,
-                        method=PositionalMetricType.iou(0.3),
+                        method=(PositionalMetricType.iou(0.3) if kind == "iou"
+                                else PositionalMetricType.maha()),
                         spatio_temporal_constraints=stc)
 
         def bframe():
@@ -248,9 +402,11 @@ def main():
             bcall(boxes)
             times.append(time.perf_counter() - t0)
         ms = statistics.median(times) * 1e3
-        rows[f"batch_sort_{n}_ms"] = round(ms, 3)
-        ref = BATCH_REF_MS[n]
-        log(f"bat  {n:4d} objects: {ms:8.3f} ms/predict "
+        key = (f"batch_sort_{n}_ms" if kind == "iou"
+               else f"batch_sort_maha_{n}_ms")
+        rows[key] = round(ms, 3)
+        ref = (BATCH_REF_MS if kind == "iou" else BATCH_MAHA_REF_MS)[n]
+        log(f"bat{kind[0]} {n:4d} objects: {ms:8.3f} ms/predict "
             f"({1e3 / ms:8.1f} FPS)  reference {ref:.3f} ms [x{ref/ms:.2f}]")
 
     vs_ref = {

@@ -202,15 +202,25 @@ def main():
                     choices=["sort", "visual", "both", "gallery"])
     ap.add_argument("--steps", type=int, nargs=2, default=(2, 16),
                     metavar=("SMALL", "BIG"))
+    ap.add_argument("--point-reps", type=int, default=3,
+                    help="independent measurements per (tracker, n) point; "
+                         "the median is reported with the min-max spread")
     args = ap.parse_args()
 
     import os
+    import platform as _platform
 
     import jax
 
+    # Machine-suffixed cache dir: the XLA:CPU AOT cache does NOT key on host
+    # machine features, and loading entries compiled on a different machine
+    # both warns about SIGILL and runs code tuned for the wrong CPU — caught
+    # in round 4 while chasing the phantom "visual n=8 collapse" (see
+    # ARCHITECTURE.md §8).
+    cache_root = os.environ.get("JAX_CACHE_DIR", "/root/.cache/jax_similari")
     jax.config.update(
         "jax_compilation_cache_dir",
-        os.environ.get("JAX_CACHE_DIR", "/root/.cache/jax_similari"),
+        f"{cache_root}_{_platform.machine()}_{_platform.node()}",
     )
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -253,25 +263,38 @@ def main():
                 f"{scenes * 2 * args.objects * 3} gallery lanes  "
                 f"(x{qps / base:.2f} vs n=1 while the corpus grew x{n_dev})")
         trackers = []
+    import statistics as _stats
+
     for tracker in trackers:
         base = None
         for n_dev in counts:
             mesh = scene_mesh(n_dev)
             scenes = args.scenes_per_device * n_dev
-            if tracker == "sort":
-                fps = measure_sort(mesh, n_dev, scenes, args.objects,
-                                   *args.steps)
-            else:
-                fps = measure_visual(mesh, n_dev, scenes, args.objects,
-                                     args.feat_dim, *args.steps)
+            # point_reps independent measurements per point: on the shared
+            # 2-core virtual mesh single measurements vary ±30-50% run to
+            # run, which round 3 misread as an n=8 collapse (ARCH §8)
+            samples = []
+            for _ in range(args.point_reps):
+                if tracker == "sort":
+                    samples.append(measure_sort(
+                        mesh, n_dev, scenes, args.objects, *args.steps))
+                else:
+                    samples.append(measure_visual(
+                        mesh, n_dev, scenes, args.objects, args.feat_dim,
+                        *args.steps))
+            fps = _stats.median(samples)
             per_dev = fps / n_dev
             if base is None:
                 base = per_dev
             eff = per_dev / base
             rows[f"{tracker}_n{n_dev}_scene_fps"] = round(fps, 2)
+            rows[f"{tracker}_n{n_dev}_scene_fps_spread"] = [
+                round(min(samples), 2), round(max(samples), 2)]
             rows[f"{tracker}_n{n_dev}_efficiency"] = round(eff, 4)
             log(f"{tracker:7s} n={n_dev:<3d} {fps:12.1f} scene-frames/s  "
-                f"{per_dev:12.1f} /device  efficiency {eff:6.1%}")
+                f"{per_dev:12.1f} /device  efficiency {eff:6.1%}  "
+                f"(spread {min(samples):.0f}-{max(samples):.0f}, "
+                f"{len(samples)} reps)")
 
     print(json.dumps({
         "metric": "pod_weak_scaling",

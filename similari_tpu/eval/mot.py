@@ -166,6 +166,8 @@ def run_sequence_device(
     capacity: int = 512,
     report_observed: bool = False,
     engine: str = "xla",
+    assignment: str = "auction",
+    recycle_idle: bool = True,
 ) -> Tuple[Dict[int, List[Tuple[int, float, float, float, float]]], float]:
     """Whole-sequence device pipeline: one transfer in, one scan, one out.
 
@@ -212,9 +214,10 @@ def run_sequence_device(
         method=method,
         iou_threshold=iou_threshold,
         max_idle_epochs=max_idle_epochs,
-        assignment="auction",
+        assignment=assignment,
         oriented=False,  # MOT data is axis-aligned LTWH
-        recycle_idle=True,  # capacity bounds live tracks over long sequences
+        # default True: capacity bounds live tracks over long sequences
+        recycle_idle=recycle_idle,
     )
     state = new_sort_state(capacity, 1)
     if engine == "pallas":

@@ -104,3 +104,90 @@ def generate_sequence(
     if feature_dim:
         return gt, dets, feats
     return gt, dets
+
+
+def generate_adversarial_sequence(scenario: str, seed: int = 0,
+                                  n_frames: int = 120):
+    """Adversarial scenarios for the accuracy-delta suite (round-4 VERDICT
+    item 8).  Each returns (gt, dets) shaped like `generate_sequence`.
+
+    Scenarios:
+      crossing  — two columns of targets walk through each other (sustained
+                  mutual proximity; the classic id-switch generator)
+      fp_burst  — clean tracking with a mid-sequence burst of ~12 false
+                  positives per frame for 20 frames
+      idle_gaps — every object vanishes for a window of 2-7 frames
+                  (straddling max_idle_epochs=5: some gaps re-identify,
+                  some legitimately terminate)
+      churn     — heavy birth/death plus 15% detector misses
+      capacity  — 120 objects with churn (pressure for small stores and
+                  recycle_idle)
+    """
+    rng = np.random.default_rng(seed)
+    if scenario == "crossing":
+        n = 24
+        gt: GT = {}
+        dets: Dets = {}
+        # two columns at x=100 and x=700 moving toward each other; rows
+        # offset so pairs pass within a box height of each other
+        y0 = np.linspace(60, 740, n // 2)
+        wh = np.full((n, 2), 34.0)
+        for f in range(n_frames):
+            gt_rows, det_rows = [], []
+            for i in range(n // 2):
+                xa = 100.0 + 5.0 * f
+                xb = 700.0 - 5.0 * f
+                for k, x in ((0, xa), (1, xb)):
+                    j = 2 * i + k
+                    y = y0[i] + (8.0 if k else -8.0)
+                    l, t = x - wh[j, 0] / 2, y - wh[j, 1] / 2
+                    gt_rows.append((j + 1, l, t, wh[j, 0], wh[j, 1]))
+                    det_rows.append((l + rng.normal(0, 1.0),
+                                     t + rng.normal(0, 1.0),
+                                     wh[j, 0], wh[j, 1], 0.9))
+            gt[f + 1] = gt_rows
+            dets[f + 1] = det_rows
+        return gt, dets
+    if scenario == "fp_burst":
+        gt, dets = generate_sequence(
+            n_objects=20, n_frames=n_frames, seed=seed, p_miss=0.02,
+            fp_per_frame=0.2, birth_death=False)
+        for f in range(50, 70):
+            rows = dets.setdefault(f + 1, [])
+            for _ in range(12):
+                rows.append((rng.uniform(0, 800), rng.uniform(0, 800),
+                             rng.uniform(20, 50), rng.uniform(20, 50),
+                             float(np.clip(rng.normal(0.6, 0.2), 0.1, 1.0))))
+        return gt, dets
+    if scenario == "idle_gaps":
+        gt, dets = generate_sequence(
+            n_objects=16, n_frames=n_frames, seed=seed, p_miss=0.0,
+            fp_per_frame=0.0, birth_death=False)
+        # carve per-object occlusion windows out of the detections (gt keeps
+        # the object: missing it costs FN, a late re-identify costs IDSW).
+        # With p_miss=0 and no FPs, dets[f][k] aligns with gt[f][k] by
+        # construction, so windows apply by index.
+        windows = {}
+        for i in range(16):
+            start = int(rng.integers(20, n_frames - 20))
+            gap = int(rng.integers(2, 8))  # 2-7 frames vs max_idle_epochs=5
+            windows[i + 1] = (start, start + gap)
+        for f in list(dets):
+            kept = []
+            for k, d in enumerate(dets[f]):
+                oid = gt[f][k][0]
+                a, b = windows.get(oid, (0, 0))
+                if a <= f < b:
+                    continue
+                kept.append(d)
+            dets[f] = kept
+        return gt, dets
+    if scenario == "churn":
+        return generate_sequence(
+            n_objects=40, n_frames=n_frames, seed=seed, p_miss=0.15,
+            fp_per_frame=2.0, birth_death=True)
+    if scenario == "capacity":
+        return generate_sequence(
+            n_objects=120, n_frames=n_frames, arena=2000.0, seed=seed,
+            p_miss=0.1, fp_per_frame=3.0, birth_death=True)
+    raise ValueError(f"unknown scenario {scenario!r}")

@@ -115,6 +115,9 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         I, I, U8, F, I, I,  # outputs
     ]
     lib.sort_step_host.restype = ctypes.c_int
+    lib.kf_box_sequence.argtypes = [
+        F, ctypes.c_int, ctypes.c_float, ctypes.c_float, F]
+    lib.kf_box_sequence.restype = ctypes.c_int
     lib.nms_host.argtypes = [F, ctypes.c_int, ctypes.c_float, ctypes.c_int, U8]
     lib.nms_host.restype = ctypes.c_int
     lib.nms_host_batch.argtypes = [
@@ -347,6 +350,28 @@ def sort_step_host(cfg, state, det_box, det_conf, epoch: int):
         raise RuntimeError(f"sort_step_host failed: {rc}")
     return (int(out_nid[0]), out_slot, out_id, out_new.astype(bool),
             out_pred, out_len)
+
+
+def kf_box_sequence(z: np.ndarray, position_weight: float,
+                    velocity_weight: float):
+    """Bulk box-KF smoothing: z[N, 5] vec5 observations -> mean[N, 5]
+    (initiate from row 0, then predict+update per row — the
+    `benches/kalman_bbox.rs` loop in one native call).  Returns None when
+    the native library is unavailable (caller falls back to the per-call
+    Python filter)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    z = np.ascontiguousarray(z, np.float32)
+    n = z.shape[0]
+    out = np.empty((n, 5), np.float32)
+    F = ctypes.POINTER(ctypes.c_float)
+    rc = lib.kf_box_sequence(
+        z.ctypes.data_as(F), n, float(position_weight),
+        float(velocity_weight), out.ctypes.data_as(F))
+    if rc:
+        raise RuntimeError(f"kf_box_sequence failed: {rc}")
+    return out
 
 
 def nms_available() -> bool:

@@ -54,6 +54,25 @@ struct DSU {
 
 extern "C" {
 
+// Bulk Kalman smoothing: initiate from z[0], then predict+update per row
+// (the reference's `benches/kalman_bbox.rs:15-31` loop as ONE call — the
+// per-call Python object API pays ~18 us/step in interpreter overhead;
+// this runs the identical recurrence at ~50 ns/step).
+int kf_box_sequence(const float* z, int n, float pw, float vw,
+                    float* out_mean) {
+  if (n <= 0) return 0;
+  KfRow s;
+  kf_initiate(z, pw, vw, s);
+  std::memcpy(out_mean, s.mp, 5 * sizeof(float));
+  for (int i = 1; i < n; ++i) {
+    kf_predict(pw, vw, s);
+    kf_update(z + static_cast<size_t>(i) * 5, pw, s);
+    std::memcpy(out_mean + static_cast<size_t>(i) * 5, s.mp,
+                5 * sizeof(float));
+  }
+  return 0;
+}
+
 // clang-format off
 int sort_step_host(
     // --- static config ---

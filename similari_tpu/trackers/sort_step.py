@@ -78,6 +78,13 @@ class SortConfig:
     # created.  Off by default for the host engines (which run auto_waste
     # themselves and must read wasted snapshots); on for scan pipelines.
     recycle_idle: bool = False
+    # oriented block-skip matching (round-4): x-sort per-step views of both
+    # axes and compute the rotated IoU with the Pallas `too_far`-block-skip
+    # kernel (ops/pallas_clip.py) — in-radius pairs concentrate near the
+    # diagonal so most 128x128 tiles skip the ~700-flop clip.  Applied when
+    # oriented & method=iou & shapes clear the gate below; the plain dense
+    # path remains for small stores.
+    oriented_block_sort: bool = True
 
     @property
     def new_track_threshold(self) -> float:
@@ -143,6 +150,89 @@ def distance_weights(
     return jnp.where(compat & ~tf, m, 0.0)
 
 
+def _match_plain(cfg, state, det_box, det_conf, det_valid, epoch):
+    d = det_box.shape[0]
+    t = state.capacity
+    W = distance_weights(cfg, state, det_box, det_conf, epoch)
+    col = asg.solve_voting(
+        W, cfg.new_track_threshold, det_valid, state.active,
+        asg.resolve_backend(cfg.assignment),
+    )  # [D]
+    tgt = jnp.clip(col - d, 0, t - 1)
+    pair_w = mrg.take_at(W, tgt)
+    matched = det_valid & (col >= d) & (pair_w >= cfg.new_track_threshold)
+    return matched, tgt
+
+
+def _match_sorted(cfg, state, det_box, det_conf, det_valid, epoch):
+    """Oriented-IoU matching on x-SORTED per-step views of both axes.
+
+    Sorting (one multi-operand `lax.sort` per axis — no [T,T] permutation
+    one-hots) concentrates not-`too_far` pairs into a diagonal band so the
+    Pallas block-skip clip kernel (ops/pallas_clip.py) skips most tiles.
+    The auction runs in sorted space; only its [D]-shaped outputs are
+    mapped back (take_rows for the track axis, one `lax.sort` by original
+    index for the detection axis), so no [D,T] tensor is ever unpermuted.
+    Same LP as `_match_plain` up to near-tie resolution.
+    """
+    from ..ops.pallas_clip import oriented_iou_blockskip
+
+    d = det_box.shape[0]
+    t = state.capacity
+    big = jnp.float32(3.0e38)
+    # sorted track view (inactive slots sort last)
+    idx_t = jnp.arange(t, dtype=jnp.int32)
+    tkey = jnp.where(state.active, state.pred_box[:, 0], big)
+    (_, px, py, pa, pas, ph, le_s, act_si, tperm) = jax.lax.sort(
+        (tkey, state.pred_box[:, 0], state.pred_box[:, 1],
+         state.pred_box[:, 2], state.pred_box[:, 3], state.pred_box[:, 4],
+         state.last_epoch, state.active.astype(jnp.int32), idx_t),
+        num_keys=1,
+    )
+    pred_s = jnp.stack([px, py, pa, pas, ph], axis=-1)
+    act_s = act_si.astype(bool)
+    # sorted detection view (padding rows sort last)
+    idx_d = jnp.arange(d, dtype=jnp.int32)
+    dkey = jnp.where(det_valid, det_box[:, 0], big)
+    (_, bx, by, ba, bas, bh, conf_s, dval_si, dperm) = jax.lax.sort(
+        (dkey, det_box[:, 0], det_box[:, 1], det_box[:, 2], det_box[:, 3],
+         det_box[:, 4], det_conf, det_valid.astype(jnp.int32), idx_d),
+        num_keys=1,
+    )
+    det_s = jnp.stack([bx, by, ba, bas, bh], axis=-1)
+    dval_s = dval_si.astype(bool)
+
+    delta = epoch - le_s
+    compat = act_s & (delta <= cfg.max_idle_epochs)
+    if cfg.constraints:
+        d2r = geo.dist_in_2r(det_s[:, None, :], pred_s[None, :, :])
+        allowed = allowed_distance_for_delta(cfg.constraints, delta)
+        compat = compat[None, :] & (d2r <= allowed[None, :])
+    else:
+        compat = jnp.broadcast_to(compat[None, :], (d, t))
+    conf = jnp.maximum(conf_s, cfg.min_confidence)
+    iou, valid = oriented_iou_blockskip(
+        det_s, pred_s, interpret=jax.default_backend() != "tpu")
+    m = iou * conf[:, None]
+    valid = valid & (m >= cfg.iou_threshold)
+    W = jnp.where(compat & valid, m, 0.0)
+
+    col = asg.solve_voting(
+        W, cfg.new_track_threshold, dval_s, act_s,
+        asg.resolve_backend(cfg.assignment),
+    )
+    tgt_s = jnp.clip(col - d, 0, t - 1)
+    pair_w = mrg.take_at(W, tgt_s)
+    matched_s = dval_s & (col >= d) & (pair_w >= cfg.new_track_threshold)
+    tgt_orig = mrg.take_rows(tperm, tgt_s)  # original slot per sorted det
+    # unsort the detection axis
+    (_, matched_i, tgt_o) = jax.lax.sort(
+        (dperm, matched_s.astype(jnp.int32), tgt_orig.astype(jnp.int32)),
+        num_keys=1,
+    )
+    return matched_i.astype(bool), jnp.clip(tgt_o, 0, t - 1)
+
+
 def sort_step(
     cfg: SortConfig,
     state: SortState,
@@ -164,16 +254,18 @@ def sort_step(
             & (epoch - state.last_epoch <= cfg.max_idle_epochs),
         )
 
-    W = distance_weights(cfg, state, det_box, det_conf, epoch)
-    col = asg.solve_voting(
-        W, cfg.new_track_threshold, det_valid, state.active,
-        asg.resolve_backend(cfg.assignment),
-    )  # [D]
-    tgt = jnp.clip(col - d, 0, t - 1)
+    use_sorted = (
+        cfg.method == "iou" and cfg.oriented and cfg.oriented_block_sort
+        and t >= 512 and d >= 64
+    )
     # NOTE: every by-slot read below is a one-hot contraction (mrg.take_*) —
     # vmapped dynamic gathers serialize on TPU (ARCHITECTURE.md §4c)
-    pair_w = mrg.take_at(W, tgt)
-    matched = det_valid & (col >= d) & (pair_w >= cfg.new_track_threshold)
+    if use_sorted:
+        matched, tgt = _match_sorted(
+            cfg, state, det_box, det_conf, det_valid, epoch)
+    else:
+        matched, tgt = _match_plain(
+            cfg, state, det_box, det_conf, det_valid, epoch)
 
     # --- slot allocation for new tracks ---------------------------------
     is_new = det_valid & ~matched

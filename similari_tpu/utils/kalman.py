@@ -140,6 +140,26 @@ class Universal2DBoxKalmanFilter:
             return CHI2_UPPER_BOUND if distance > gate else distance
         return 0.0 if distance > gate else CHI2_UPPER_BOUND - distance
 
+    def filter_sequence(self, boxes: np.ndarray) -> np.ndarray:
+        """Bulk smoothing of one track: boxes[N, 5] vec5 -> filtered means
+        [N, 5] (initiate from row 0, then predict+update per row — the
+        `benches/kalman_bbox.rs:15-31` loop as one call).  Native C when the
+        toolchain is present (~50 ns/step), NumPy loop otherwise."""
+        from .. import native
+
+        z = np.ascontiguousarray(boxes, np.float32)
+        out = native.kf_box_sequence(z, self._f.pw, self._f.vw)
+        if out is not None:
+            return out
+        n = z.shape[0]
+        out = np.empty((n, 5), np.float32)
+        s = self._f.initiate(z[0])
+        out[0] = s.mean_pos
+        for i in range(1, n):
+            s = self._f.update(self._f.predict(s), z[i])
+            out[i] = s.mean_pos
+        return out
+
 
 class Point2DKalmanFilterState:
     def __init__(self, state: _NpState):

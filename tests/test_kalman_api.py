@@ -68,3 +68,29 @@ def test_distance_functions():
     assert cosine([1, 0, 0], [1, 0, 0]) == pytest.approx(1.0, abs=1e-5)
     assert cosine([1, 0, 0], [-1, 0, 0]) == pytest.approx(-1.0, abs=1e-5)
     assert cosine([1, 0, 0], [0, 1, 0]) == pytest.approx(0.0, abs=1e-6)
+
+
+def test_filter_sequence_matches_per_call_api():
+    """Bulk `filter_sequence` (native kf_box_sequence) must reproduce the
+    per-call initiate/predict/update loop exactly."""
+    import numpy as np
+
+    from similari_tpu.utils.bbox import Universal2DBox
+    from similari_tpu.utils.kalman import Universal2DBoxKalmanFilter
+
+    rng = np.random.default_rng(9)
+    n = 200
+    z = np.zeros((n, 5), np.float32)
+    z[:, 0] = np.cumsum(rng.normal(size=n)).astype(np.float32)
+    z[:, 1] = np.cumsum(rng.normal(size=n)).astype(np.float32)
+    z[:, 3] = 2.0
+    z[:, 4] = 5.0 + rng.uniform(0, 1, n).astype(np.float32)
+
+    kf = Universal2DBoxKalmanFilter()
+    st = kf.initiate(Universal2DBox.from_vec5(z[0]))
+    want = [np.asarray(st._state.mean_pos, np.float32).copy()]
+    for i in range(1, n):
+        st = kf.update(kf.predict(st), Universal2DBox.from_vec5(z[i]))
+        want.append(np.asarray(st._state.mean_pos, np.float32).copy())
+    got = kf.filter_sequence(z)
+    np.testing.assert_allclose(got, np.stack(want), rtol=1e-5, atol=1e-5)

@@ -96,18 +96,46 @@ def main():
     args = ap.parse_args()
     bench_path = pick_bench(args.bench)
     blob = json.load(open(bench_path))
-    rows = blob.get("parsed", blob)
+    rows = blob.get("parsed", blob) if isinstance(blob, dict) else blob
+    if rows is None and isinstance(blob.get("tail"), str):
+        # driver blobs may truncate the bench JSON line from the FRONT
+        # (tail capture); recover every complete "key": number pair and
+        # backfill anything cut off from the newest local artifact
+        pairs = dict(
+            (m.group(1), float(m.group(2)))
+            for m in re.finditer(
+                r'"([A-Za-z0-9_]+)":\s*(-?[0-9][0-9.eE+-]*)', blob["tail"])
+        )
+        local = sorted(
+            p for p in glob.glob(str(ROOT / "BENCH_r*_local.json"))
+        )
+        base = {}
+        if local:
+            lb = json.load(open(local[-1]))
+            lrows = lb.get("parsed", lb)
+            base = dict(lrows.get("extra", lrows))
+        rows = {"extra": {**base, **pairs}}
+    if rows is None:
+        raise SystemExit(f"no parsed bench payload in {bench_path}")
     extra = rows.get("extra", rows)
     inter_path = sorted(glob.glob(str(ROOT / "INTERACTIVE_r*.json")))[-1]
     inter = json.load(open(inter_path))
     # interactive rows: the driver bench capture carries interactive_* keys
-    # since round 3 — those are canonical; the standalone INTERACTIVE
-    # artifact fills anything the driver capture lacks
+    # since round 3 — those are canonical FOR THE SAME ROUND; a newer local
+    # INTERACTIVE artifact (new code, driver not yet run) wins over a stale
+    # driver capture from a previous round
+    def _round(p):
+        m = re.search(r"_r(\d+)", Path(p).name)
+        return int(m.group(1)) if m else -1
+
     driver_inter = {
         k[len("interactive_"):]: v
         for k, v in extra.items() if k.startswith("interactive_")
     }
-    inter["rows"] = {**inter.get("rows", {}), **driver_inter}
+    if _round(bench_path) >= _round(inter_path):
+        inter["rows"] = {**inter.get("rows", {}), **driver_inter}
+    else:
+        inter["rows"] = {**driver_inter, **inter.get("rows", {})}
 
     src = Path(bench_path).name
 
@@ -188,12 +216,67 @@ def main():
                 f"| BatchSORT per-call (1 scene x {n}, IoU) | "
                 f"{refs[n]:.3f} ms | {it[k]} ms (host batch engine) "
                 f"| {refs[n] / it[k]:.1f}x |")
+    for n in (10, 100, 500):
+        k = f"batch_sort_maha_{n}_ms"
+        if k in it:
+            refs = {10: 0.114592, 100: 1.533445, 500: 18.270742}
+            lines.append(
+                f"| BatchSORT per-call (1 scene x {n}, Maha) | "
+                f"{refs[n]:.3f} ms | {it[k]} ms (host batch engine) "
+                f"| {refs[n] / it[k]:.1f}x |")
+    # reference bench files with no published numbers: record OUR numbers so
+    # the matrix covers every benches/*.rs workload (round-4 VERDICT item 7)
+    unpub = "bench exists, no published number"
+    for vec_len, count in ((128, 1000), (128, 10000), (512, 1000),
+                           (512, 10000)):
+        k = f"store_search_{vec_len}_{count}_ms"
+        ka = f"store_search_{vec_len}_{count}_arrays_ms"
+        if k in it:
+            lines.append(
+                f"| Store search {vec_len}-d x {count} tracks "
+                f"(benches/simple_search.rs) | {unpub} | {it[k]} ms records "
+                f"/ {it[ka]} ms arrays API | — |")
+    if "track_search_256_30_100_ms" in it:
+        lines.append(
+            f"| Track search 256-d x 30 obs x 100 tracks "
+            f"(benches/track_search.rs) | {unpub} | "
+            f"{it['track_search_256_30_100_ms']} ms records / "
+            f"{it['track_search_256_30_100_arrays_ms']} ms arrays API | — |")
+    if "kalman_bbox_100k_ms" in it:
+        lines.append(
+            f"| Kalman bbox 100k predict/update (benches/kalman_bbox.rs) | "
+            f"{unpub} | {it['kalman_bbox_100k_ms']} ms per-call API / "
+            f"{it.get('kalman_bbox_100k_bulk_ms', '—')} ms bulk "
+            f"filter_sequence | — |")
+    if "kalman_point_100k_ms" in it:
+        lines.append(
+            f"| Kalman 2D point 100k (benches/kalman_2d_point.rs) | {unpub} "
+            f"| {it['kalman_point_100k_ms']} ms per-call API | — |")
+    if "own_areas_100_ms" in it:
+        oa = ", ".join(f"{n}: {it[f'own_areas_{n}_ms']} ms"
+                       for n in (10, 25, 50, 100))
+        lines.append(
+            f"| Own-area shares (benches/bbox_own_areas.rs) | {unpub} | "
+            f"device kernel {oa} per frame | — |")
     lines.append(
         "| MOT20-01 kit throughput (29.4 dets/frame) | 1,166 FPS | "
         "device pipeline ~20k FPS at that shape (bench sort_iou_100 class); "
         "real MOT17/20 blocked by zero-egress env | — |")
     body = "\n".join(lines) + f"\n\n(generated from `{src}` + `{Path(inter_path).name}` by tools/gen_doc_tables.py)\n"
     replace_block(ROOT / "PARITY.md", "full-matrix", body)
+
+    # ---- adversarial accuracy deltas -------------------------------------
+    adv = sorted(glob.glob(str(ROOT / "ADVERSARIAL_r*.json")))
+    if adv:
+        blob = json.load(open(adv[-1]))
+        body = (
+            blob["table_md"]
+            + f"\n\nWorst |delta| across non-host axes: "
+            f"**{blob['worst_abs_delta_pt']} pt** (parity bar "
+            f"{blob['parity_bar_pt']} pt; seeds {blob['seeds']}; from "
+            f"`{Path(adv[-1]).name}`, tools/adversarial_suite.py)\n"
+        )
+        replace_block(ROOT / "PARITY.md", "adversarial", body)
 
 
 if __name__ == "__main__":
