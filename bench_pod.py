@@ -32,16 +32,33 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def per_step_time(run, n_small, n_big, reps=3):
+def per_step_time(run, base_len, k_small=1, k_big=4, reps=3, min_delta=0.25,
+                  max_k=256):
+    """bench.py's adaptive chained-call differencing (ARCHITECTURE.md §6).
+
+    run(k) executes k sequential CALLS of ONE compiled scan of `base_len`
+    steps (state chained through, one real d2h fetch at the end); k_big
+    doubles until the compute delta clears the tunnel-RTT noise floor.
+    The round-3 fixed-length estimator produced a NEGATIVE visual TPU row
+    (delta inside the ~30 ms RTT jitter) — never trust a sub-noise delta.
+    """
     import statistics
 
-    run(n_small)
-    run(n_big)
-    ts, tb = [], []
-    for _ in range(reps):
-        ts.append(run(n_small))
-        tb.append(run(n_big))
-    return (statistics.median(tb) - statistics.median(ts)) / (n_big - n_small)
+    run(k_small)  # compile
+    while True:
+        ts, tb = [], []
+        for _ in range(reps):
+            ts.append(run(k_small))
+            tb.append(run(k_big))
+        t_s = statistics.median(ts)
+        t_b = statistics.median(tb)
+        if t_b - t_s >= min_delta or k_big >= max_k:
+            if t_b - t_s < min_delta:
+                log(f"  (warn: delta {t_b - t_s:.3f}s below noise floor at "
+                    f"k={k_big}; value is noisier)")
+            break
+        k_big *= 2
+    return (t_b - t_s) / ((k_big - k_small) * base_len)
 
 
 def box_stream(steps, n, seed=42, spread=1000.0):
@@ -59,7 +76,7 @@ def box_stream(steps, n, seed=42, spread=1000.0):
     return out
 
 
-def measure_sort(mesh, n_dev, scenes, objects, n_small, n_big):
+def measure_sort(mesh, n_dev, scenes, objects, base_len):
     import jax.numpy as jnp
 
     from similari_tpu.parallel import (
@@ -72,31 +89,28 @@ def measure_sort(mesh, n_dev, scenes, objects, n_small, n_big):
     cfg = SortConfig(method="iou", assignment="auction", max_idle_epochs=5,
                      oriented=False)
     scan = sharded_sort_scan(cfg, mesh)
-    streams = {}
+    flat = box_stream(base_len, scenes * objects)
+    stream = jnp.asarray(flat.reshape(base_len, scenes, objects, 5))
+    conf = jnp.ones((base_len, scenes, objects), jnp.float32)
+    valid = jnp.ones((base_len, scenes, objects), bool)
 
-    def run(n):
-        if n not in streams:
-            flat = box_stream(n, scenes * objects)
-            streams[n] = (
-                jnp.asarray(flat.reshape(n, scenes, objects, 5)),
-                jnp.ones((n, scenes, objects), jnp.float32),
-                jnp.ones((n, scenes, objects), bool),
-            )
-        stream, conf, valid = streams[n]
+    def run(k):
         states = shard_batched_state(
             new_batched_state(scenes, 2 * objects, 1), mesh
         )
         t0 = time.perf_counter()
-        states, ids, total_new, _ovf = scan(
-            states, stream, conf, valid, jnp.ones((scenes,), jnp.int32)
-        )
+        for i in range(k):
+            states, ids, total_new, _ovf = scan(
+                states, stream, conf, valid,
+                jnp.full((scenes,), 1 + i * base_len, jnp.int32)
+            )
         np.asarray(total_new)  # true sync (d2h fetch)
         return time.perf_counter() - t0
 
-    return scenes / per_step_time(run, n_small, n_big)
+    return scenes / per_step_time(run, base_len)
 
 
-def measure_visual(mesh, n_dev, scenes, objects, feat_dim, n_small, n_big):
+def measure_visual(mesh, n_dev, scenes, objects, feat_dim, base_len):
     import jax.numpy as jnp
 
     from similari_tpu.parallel import (
@@ -114,37 +128,33 @@ def measure_visual(mesh, n_dev, scenes, objects, feat_dim, n_small, n_big):
     )
     scan = sharded_visual_scan(cfg, mesh)
     rng = np.random.default_rng(0)
-    streams = {}
+    flat = box_stream(base_len, scenes * objects)
+    stream = jnp.asarray(flat.reshape(base_len, scenes, objects, 5))
+    conf = jnp.ones((base_len, scenes, objects), jnp.float32)
+    valid = jnp.ones((base_len, scenes, objects), bool)
+    feat = jnp.asarray(rng.normal(
+        size=(base_len, scenes, objects, feat_dim)).astype(np.float32))
 
-    def run(n):
-        if n not in streams:
-            flat = box_stream(n, scenes * objects)
-            streams[n] = (
-                jnp.asarray(flat.reshape(n, scenes, objects, 5)),
-                jnp.ones((n, scenes, objects), jnp.float32),
-                jnp.ones((n, scenes, objects), bool),
-                jnp.asarray(rng.normal(
-                    size=(n, scenes, objects, feat_dim)).astype(np.float32)),
-            )
-        stream, conf, valid, feat = streams[n]
+    def run(k):
         states = shard_batched_state(
             new_batched_visual_state(scenes, 2 * objects, 1, 3, feat_dim,
                                      feature_dtype=jnp.bfloat16),
             mesh,
         )
         t0 = time.perf_counter()
-        states, ids, total_new, _ovf = scan(
-            states, stream, conf, valid, feat, valid, conf, conf,
-            jnp.ones((scenes,), jnp.int32),
-        )
+        for i in range(k):
+            states, ids, total_new, _ovf = scan(
+                states, stream, conf, valid, feat, valid, conf, conf,
+                jnp.full((scenes,), 1 + i * base_len, jnp.int32),
+            )
         np.asarray(total_new)  # true sync
         return time.perf_counter() - t0
 
-    return scenes / per_step_time(run, n_small, n_big)
+    return scenes / per_step_time(run, base_len)
 
 
 def measure_gallery_query(mesh, n_dev, scenes, objects, feat_dim,
-                          n_small, n_big, queries=128, topk=8):
+                          base_len, queries=128, topk=8):
     """Cross-shard global ReID gallery query throughput (the collective
     path of north-star config 5): per call, every shard scores the query
     batch against its local galleries (one MXU matmul + local top-k) and
@@ -186,7 +196,8 @@ def measure_gallery_query(mesh, n_dev, scenes, objects, feat_dim,
         np.asarray(out[0][0, 0])  # true sync
         return time.perf_counter() - t0
 
-    per_call = per_step_time(run, 1, n_small, n_big)
+    # base_len=1: run(k) is k chained query calls of one compiled program
+    per_call = per_step_time(run, 1, k_big=64, max_k=16384)
     return queries / per_call
 
 
@@ -200,8 +211,11 @@ def main():
     ap.add_argument("--feat-dim", type=int, default=128)
     ap.add_argument("--tracker", default="both",
                     choices=["sort", "visual", "both", "gallery"])
-    ap.add_argument("--steps", type=int, nargs=2, default=(2, 16),
-                    metavar=("SMALL", "BIG"))
+    ap.add_argument("--base-len", type=int, default=None,
+                    help="frames per compiled scan call (default 16 on the "
+                         "CPU mesh, 64 on TPU); the estimator chains k "
+                         "calls and doubles k until the delta clears the "
+                         "noise floor")
     ap.add_argument("--point-reps", type=int, default=3,
                     help="independent measurements per (tracker, n) point; "
                          "the median is reported with the min-max spread")
@@ -246,6 +260,8 @@ def main():
         f"weak-scaling: {args.scenes_per_device} scenes/device x "
         f"{args.objects} objects")
 
+    base_len = args.base_len or (16 if jax.default_backend() == "cpu"
+                                 else 64)
     rows = {}
     trackers = (["sort", "visual"] if args.tracker == "both"
                 else [args.tracker])
@@ -255,7 +271,7 @@ def main():
             mesh = scene_mesh(n_dev)
             scenes = args.scenes_per_device * n_dev
             qps = measure_gallery_query(mesh, n_dev, scenes, args.objects,
-                                        args.feat_dim, *args.steps)
+                                        args.feat_dim, base_len)
             if base is None:
                 base = qps
             rows[f"gallery_n{n_dev}_qps"] = round(qps, 2)
@@ -277,11 +293,11 @@ def main():
             for _ in range(args.point_reps):
                 if tracker == "sort":
                     samples.append(measure_sort(
-                        mesh, n_dev, scenes, args.objects, *args.steps))
+                        mesh, n_dev, scenes, args.objects, base_len))
                 else:
                     samples.append(measure_visual(
                         mesh, n_dev, scenes, args.objects, args.feat_dim,
-                        *args.steps))
+                        base_len))
             fps = _stats.median(samples)
             per_dev = fps / n_dev
             if base is None:

@@ -49,6 +49,7 @@ REF = {
 
 HEADLINE = [
     "sort_iou_100", "sort_iou_oriented_100", "sort_iou_500",
+    "sort_iou_oriented_500",
     "visual_sort_100x512_pallas", "visual_sort_100x512",
     "batch_sort_1024x100", "batch_visual_256x100x512",
 ]
@@ -76,18 +77,22 @@ def replace_block(path: Path, name: str, body: str):
 
 
 def pick_bench(explicit):
-    """The DRIVER capture (`BENCH_rNN.json`, no suffix) is canonical; local
-    captures (`BENCH_rNN_local.json`) are fallbacks only (round-3 review
-    weak #4: one canonical artifact per metric, driver wins)."""
+    """Pick the newest-ROUND capture; within a round the DRIVER artifact
+    (`BENCH_rNN.json`, no suffix) beats local ones (round-3 review weak
+    #4: one canonical artifact per metric, driver wins — but a local
+    capture of NEWER code beats a stale driver capture of older code)."""
     if explicit:
         return explicit
-    driver = sorted(
-        p for p in glob.glob(str(ROOT / "BENCH_r*.json"))
-        if re.fullmatch(r"BENCH_r\d+\.json", Path(p).name)
-    )
-    if driver:
-        return driver[-1]
-    return sorted(glob.glob(str(ROOT / "BENCH_r*.json")))[-1]
+
+    def key(p):
+        name = Path(p).name
+        m = re.match(r"BENCH_r(\d+)", name)
+        rnd = int(m.group(1)) if m else -1
+        is_driver = 1 if re.fullmatch(r"BENCH_r\d+\.json", name) else 0
+        return (rnd, is_driver)
+
+    paths = glob.glob(str(ROOT / "BENCH_r*.json"))
+    return max(paths, key=key)
 
 
 def main():
