@@ -126,9 +126,19 @@ def sharded_visual_scan(cfg: VisualConfig, mesh: Mesh):
 def batched_sort_step(cfg: SortConfig):
     """vmapped step over a leading scene axis (single device).
 
+    The oriented block-skip path is forced off under vmap: the per-scene
+    Pallas clip kernel (ops/pallas_clip.py) is tuned for the single-scene
+    recurrence — a scene-batched launch serializes on Mosaic's sequential
+    grid (the same reason the batch engines stay on vmapped XLA,
+    ARCHITECTURE.md §4d) — and per-scene x-sorting buys nothing when the
+    dense clip vectorizes across scenes anyway.
+
     All arrays gain a leading [S] dim, including per-scene epochs and the
     per-scene `next_id` counters inside the state.
     """
+    import dataclasses
+
+    cfg = dataclasses.replace(cfg, oriented_block_sort=False)
     return jax.vmap(partial(sort_step, cfg))
 
 

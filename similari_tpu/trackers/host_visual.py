@@ -67,9 +67,10 @@ def host_visual_step(
     det_feat = np.ascontiguousarray(det_feat, np.float32)
 
     # small frames: one native C call (visualstep.cpp) replaces ~100 numpy
-    # dispatches; above ~32 detections the scalar O(D*C*K*F) distance loop
-    # loses to the BLAS path below, so the split is by frame size
-    if d <= 32:
+    # dispatches; since the SIMD dot fix the scalar O(D*C*K*F) distance
+    # loop wins to ~150 detections (crossover measured round 4), so the
+    # split sits at 128
+    if d <= 128:
         from .. import native
 
         if native.visual_step_available():

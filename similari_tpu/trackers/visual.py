@@ -507,7 +507,11 @@ class VisualSort:
                 )
             oa = (own_area if own_area is not None
                   else np.ones((d,), np.float32))
-            if (d <= 32 and native.visual_step_available()
+            # native step vs NumPy/BLAS split: since the SIMD dot fix
+            # (round 4) the scalar C++ step wins to ~150 detections
+            # (measured 0.59 vs 1.34 ms at 50, 2.13 vs 3.20 at 100,
+            # 7.99 vs 6.95 at 200), so the threshold sits at 128
+            if (d <= 128 and native.visual_step_available()
                     and store.state.feats.dtype == np.float32):
                 if store.session is None:
                     store.session = native.VisualStepSession(

@@ -103,7 +103,7 @@ ORIENTED_CFG = VisualConfig(
 )
 
 
-@pytest.mark.parametrize("d0", [10, 40])  # <=32 native path, >32 NumPy path
+@pytest.mark.parametrize("d0", [10, 140])  # <=128 native, >128 NumPy path
 @pytest.mark.parametrize("seed", [0, 1])
 def test_host_visual_matches_device_step_oriented(d0, seed):
     """Round-4 VERDICT item 1 (visual twin): oriented boxes through the host
@@ -146,23 +146,25 @@ def test_host_visual_matches_device_step_oriented(d0, seed):
 
 
 def test_visualsort_frame_size_crosses_native_threshold():
-    """Regression (round-3 self-review): a frame >32 dets (NumPy fallback)
-    followed by one <=32 (native session) crashed on next_id item assignment
-    when the fallback replaced the 0-d next_id array with a scalar."""
+    """Regression (round-3 self-review): a frame above the native threshold
+    (NumPy fallback) followed by one below it (native session) crashed on
+    next_id item assignment when the fallback replaced the 0-d next_id
+    array with a scalar.  The threshold moved 32 -> 128 in round 4 (SIMD
+    dot), so the big frame is 140 now."""
     from similari_tpu import (
         BoundingBox, PositionalMetricType, VisualSort, VisualSortMetricType,
         VisualSortObservation, VisualSortObservationSet, VisualSortOptions,
     )
 
     rng = np.random.default_rng(0)
-    idents = rng.normal(size=(40, 8)).astype(np.float32) * 10.0
+    idents = rng.normal(size=(140, 8)).astype(np.float32) * 10.0
 
     def make():
         opts = VisualSortOptions()
         opts.visual_metric(VisualSortMetricType.euclidean(5.0))
         opts.positional_metric(PositionalMetricType.iou(0.3))
         opts.visual_minimal_track_length(2)
-        opts.max_idle_epochs(10)  # tracks 11-40 idle while small frames run
+        opts.max_idle_epochs(10)  # tracks 11-140 idle while small frames run
         return VisualSort(1, opts)
 
     def frame(n, step):
@@ -178,12 +180,12 @@ def test_visualsort_frame_size_crosses_native_threshold():
         return obs
 
     tr = make()
-    big = tr.predict(frame(40, 0))      # > 32: NumPy path
-    small = tr.predict(frame(10, 2))    # <= 32: native session path
+    big = tr.predict(frame(140, 0))     # > 128: NumPy path
+    small = tr.predict(frame(10, 2))    # <= 128: native session path
     assert [t.id for t in small] == [t.id for t in big][:10]
     small2 = tr.predict(frame(10, 4))   # session reused — must not crash
     assert [t.id for t in small2] == [t.id for t in small]
-    big2 = tr.predict(frame(40, 6))     # back above the threshold
+    big2 = tr.predict(frame(140, 6))    # back above the threshold
     assert [t.id for t in big2] == [t.id for t in big]
 
 
