@@ -53,13 +53,14 @@ class _FeatureIndex:
     (`store.rs:429-460`): one sgemm sweeps every stored observation.
     """
 
-    __slots__ = ("rows", "to_id", "obs_ix", "norm")
+    __slots__ = ("rows", "to_id", "obs_ix", "norm", "spans")
 
-    def __init__(self, rows, to_id, obs_ix):
+    def __init__(self, rows, to_id, obs_ix, spans):
         self.rows = rows
         self.to_id = to_id
         self.obs_ix = obs_ix
-        self.norm = None  # lazy row norms (cosine)
+        self.spans = spans  # {track_id: (start, stop)} contiguous runs
+        self.norm = None  # lazy row norms (cosine / euclid squared)
 
 
 class TrackStore:
@@ -82,6 +83,7 @@ class TrackStore:
         if cached is not None and cached[0] == self._mutations:
             return cached[1]
         rows, to_id, obs_ix = [], [], []
+        spans: Dict[int, Tuple[int, int]] = {}
         dim = None
         index: Optional[_FeatureIndex] = None
         ok = True
@@ -89,6 +91,7 @@ class TrackStore:
             obs = track.observations.get(feature_class)
             if not obs:
                 continue
+            start = len(rows)
             for j, o in enumerate(obs):
                 f = o.feature()
                 if f is None or (dim is not None and f.shape[0] != dim):
@@ -100,11 +103,13 @@ class TrackStore:
                 obs_ix.append(j)
             if not ok:
                 break
+            spans[tid] = (start, len(rows))
         if ok and rows:
             index = _FeatureIndex(
                 np.stack(rows).astype(np.float32, copy=False),
                 np.asarray(to_id, np.int64),
                 np.asarray(obs_ix, np.int64),
+                spans,
             )
         self._findex[feature_class] = (self._mutations, index)
         return index
@@ -234,20 +239,7 @@ class TrackStore:
             qq = (q * q).sum(1)[:, None]
             pre = np.sqrt(np.maximum(
                 qq - 2.0 * (q @ g.T) + index.norm[None, :], 0.0))
-        return pre, self._index_spans(feature_class)
-
-    def _index_spans(self, feature_class: int) -> Dict[int, Tuple[int, int]]:
-        index = self._feature_index(feature_class)
-        spans: Dict[int, Tuple[int, int]] = {}
-        if index is None:
-            return spans
-        tid = index.to_id
-        start = 0
-        for i in range(1, len(tid) + 1):
-            if i == len(tid) or tid[i] != tid[start]:
-                spans[int(tid[start])] = (start, i)
-                start = i
-        return spans
+        return pre, index.spans
 
     def foreign_track_distances_arrays(
         self, cand: Track, feature_class: int, only_baked: bool = False

@@ -179,8 +179,3 @@ def oriented_iou_blockskip(det_box: jax.Array, trk_box: jax.Array,
     iou = _compiled_call(dpad, tpad, interpret)(det8, trk8.T)
     iou = iou[:d, :t]
     return iou, iou > 0.0
-
-
-def blockskip_supported() -> bool:
-    """Real-TPU only by default; interpret mode covers CPU tests."""
-    return jax.default_backend() == "tpu"

@@ -81,10 +81,12 @@ class SortConfig:
     # oriented block-skip matching (round-4): x-sort per-step views of both
     # axes and compute the rotated IoU with the Pallas `too_far`-block-skip
     # kernel (ops/pallas_clip.py) — in-radius pairs concentrate near the
-    # diagonal so most 128x128 tiles skip the ~700-flop clip.  Applied when
-    # oriented & method=iou & shapes clear the gate below; the plain dense
-    # path remains for small stores.
-    oriented_block_sort: bool = True
+    # diagonal so most 128x128 tiles skip the ~700-flop clip.  "auto" uses
+    # it on real TPUs when oriented & method=iou & shapes clear the gate
+    # (on CPU the kernel would run in slow interpret mode, so auto keeps
+    # the dense XLA path there); True forces it (tests), False disables
+    # (the vmapped batch engines — Mosaic's grid serializes per scene).
+    oriented_block_sort: object = "auto"  # "auto" | True | False
 
     @property
     def new_track_threshold(self) -> float:
@@ -254,8 +256,13 @@ def sort_step(
             & (epoch - state.last_epoch <= cfg.max_idle_epochs),
         )
 
+    block_sort = (
+        cfg.oriented_block_sort is True
+        or (cfg.oriented_block_sort == "auto"
+            and jax.default_backend() == "tpu")
+    )
     use_sorted = (
-        cfg.method == "iou" and cfg.oriented and cfg.oriented_block_sort
+        cfg.method == "iou" and cfg.oriented and block_sort
         and t >= 512 and d >= 64
     )
     # NOTE: every by-slot read below is a one-hot contraction (mrg.take_*) —

@@ -148,6 +148,8 @@ class Universal2DBoxKalmanFilter:
         from .. import native
 
         z = np.ascontiguousarray(boxes, np.float32)
+        if z.shape[0] == 0:
+            return np.zeros((0, 5), np.float32)
         out = native.kf_box_sequence(z, self._f.pw, self._f.vw)
         if out is not None:
             return out

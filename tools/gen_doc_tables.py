@@ -137,9 +137,15 @@ def main():
         k[len("interactive_"):]: v
         for k, v in extra.items() if k.startswith("interactive_")
     }
-    if _round(bench_path) >= _round(inter_path):
+    bench_is_driver = re.fullmatch(r"BENCH_r\d+\.json",
+                                   Path(bench_path).name) is not None
+    if _round(bench_path) > _round(inter_path) or (
+        _round(bench_path) == _round(inter_path) and bench_is_driver
+    ):
         inter["rows"] = {**inter.get("rows", {}), **driver_inter}
     else:
+        # same-round LOCAL bench (or older): the standalone INTERACTIVE
+        # artifact is at least as fresh — its rows win
         inter["rows"] = {**driver_inter, **inter.get("rows", {})}
 
     src = Path(bench_path).name
@@ -237,16 +243,18 @@ def main():
         k = f"store_search_{vec_len}_{count}_ms"
         ka = f"store_search_{vec_len}_{count}_arrays_ms"
         if k in it:
+            arr = f" / {it[ka]} ms arrays API" if ka in it else ""
             lines.append(
                 f"| Store search {vec_len}-d x {count} tracks "
-                f"(benches/simple_search.rs) | {unpub} | {it[k]} ms records "
-                f"/ {it[ka]} ms arrays API | — |")
+                f"(benches/simple_search.rs) | {unpub} | {it[k]} ms records"
+                f"{arr} | — |")
     if "track_search_256_30_100_ms" in it:
+        arr = (f" / {it['track_search_256_30_100_arrays_ms']} ms arrays API"
+               if "track_search_256_30_100_arrays_ms" in it else "")
         lines.append(
             f"| Track search 256-d x 30 obs x 100 tracks "
             f"(benches/track_search.rs) | {unpub} | "
-            f"{it['track_search_256_30_100_ms']} ms records / "
-            f"{it['track_search_256_30_100_arrays_ms']} ms arrays API | — |")
+            f"{it['track_search_256_30_100_ms']} ms records{arr} | — |")
     if "kalman_bbox_100k_ms" in it:
         lines.append(
             f"| Kalman bbox 100k predict/update (benches/kalman_bbox.rs) | "
