@@ -59,7 +59,13 @@ class FeatureTracker:
         # gallery ring stored flat [T*G, F] so the distance sgemm needs no
         # reshape/copy; lane j of track i lives at row i*G + j
         self._feats = np.zeros((t * gallery, feature_dim), np.float32)
-        self._norms = np.zeros((t * gallery,), np.float32)  # |y|^2 per lane
+        # |y|^2 per lane.  Euclidean stores +inf on DEAD lanes: the distance
+        # comes out +inf, so dead lanes drop out of votes and weights with
+        # no [D, lanes] mask pass at all (the mask pass was ~15% of the
+        # 500-object epoch).  Cosine keeps 0 (inf would corrupt the denom)
+        # and masks explicitly.
+        self._dead_norm = np.float32(np.inf if metric == "euclidean" else 0.0)
+        self._norms = np.full((t * gallery,), self._dead_norm, np.float32)
         self._live = np.zeros((t * gallery,), bool)
         self._count = np.zeros((t,), np.int64)  # total observations ever
         self._ids = np.zeros((t,), np.int64)
@@ -102,12 +108,12 @@ class FeatureTracker:
         g = self.gallery
         pad = new_t - t
 
-        def padded(a, rows):
-            return np.concatenate([a, np.zeros((rows,) + a.shape[1:],
-                                               a.dtype)])
+        def padded(a, rows, fill=0):
+            ext = np.full((rows,) + a.shape[1:], fill, a.dtype)
+            return np.concatenate([a, ext])
 
         self._feats = padded(self._feats, pad * g)
-        self._norms = padded(self._norms, pad * g)
+        self._norms = padded(self._norms, pad * g, fill=self._dead_norm)
         self._live = padded(self._live, pad * g)
         self._count = padded(self._count, pad)
         self._ids = padded(self._ids, pad)
@@ -131,6 +137,33 @@ class FeatureTracker:
         if u == 0:
             matched = np.zeros((d,), bool)
             tgt = np.zeros((d,), np.int64)
+        elif self.metric == "euclidean" and self.min_votes <= 1:
+            # --- fused fast path (the bench configuration) ---------------
+            # One sgemm, then IN-PLACE passes on the [D, lanes] buffer:
+            # d2 -> dist -> clamped weight (max_dist - min(dist, max_dist)).
+            # Dead lanes carry +inf norms so they contribute exactly 0
+            # weight with no mask pass; with min_votes == 1, "has a vote"
+            # collapses to "summed weight > 0" (they differ only when a
+            # lane sits at EXACTLY max_distance — measure-zero for
+            # continuous features; reference ids are nondeterministic at
+            # ties anyway).  g strided adds replace the reshape reduce
+            # (axis-2 reduce over int/bool measured 4.9 ms at this shape).
+            lanes = u * g
+            gal = self._feats[:lanes]
+            buf = feats @ gal.T  # [D, used*G] BLAS
+            np.multiply(buf, np.float32(-2.0), out=buf)
+            buf += qn[:, None]
+            buf += self._norms[None, :lanes]
+            np.maximum(buf, np.float32(0.0), out=buf)
+            np.sqrt(buf, out=buf)
+            np.minimum(buf, self.max_distance, out=buf)
+            np.subtract(self.max_distance, buf, out=buf)
+            w3 = buf.reshape(d, u, g)
+            weight = w3[:, :, 0].copy()
+            for j in range(1, g):
+                weight += w3[:, :, j]
+            tgt = np.argmax(weight, axis=1)
+            matched = weight[np.arange(d), tgt] > 0.0
         else:
             # --- distance matrix: one sgemm over live gallery lanes ------
             # (`track.rs:616-643` cartesian loop -> [D, used*G] batch)
