@@ -1,0 +1,26 @@
+"""Bulk Kalman smoothing of a whole track (round-4 `filter_sequence`).
+
+The reference's `benches/kalman_bbox.rs` loop — initiate from the first
+box, then predict+update per observation — as ONE call: the native C
+path runs ~50 ns/step (100k steps in ~2 ms) vs ~18 us/step through the
+per-call object API, with identical results (tests/test_kalman_api.py).
+"""
+
+import numpy as np
+
+from similari_tpu.utils.kalman import Universal2DBoxKalmanFilter
+
+if __name__ == "__main__":
+    rng = np.random.default_rng(0)
+    n = 200
+    z = np.zeros((n, 5), np.float32)  # vec5 = (xc, yc, angle, aspect, h)
+    z[:, 0] = np.cumsum(rng.normal(1.0, 0.5, n)).astype(np.float32)
+    z[:, 1] = np.cumsum(rng.normal(0.5, 0.5, n)).astype(np.float32)
+    z[:, 3] = 2.0
+    z[:, 4] = 5.0
+
+    kf = Universal2DBoxKalmanFilter()
+    means = kf.filter_sequence(z)
+    resid = np.abs(means[:, :2] - z[:, :2]).mean()
+    print(f"filtered {n} observations; mean |residual| = {resid:.3f} px")
+    print("last filtered state:", np.round(means[-1], 3).tolist())
