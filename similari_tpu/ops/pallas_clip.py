@@ -93,9 +93,9 @@ def _pair_integral(ax, ay, bx, by, tie_pass):
     return total
 
 
-def _iou_block_kernel(det_ref, trk_ref, out_ref):
+def _pair_block(det_ref, trk_ref, out_ref, want_iou: bool):
     """det_ref [BD, 8] clip columns; trk_ref [8, BT] (transposed columns);
-    out_ref [BD, BT] IoU (0 where empty/too_far)."""
+    out_ref [BD, BT] IoU or raw intersection area (0 where empty/too_far)."""
     dxc = det_ref[:, 0:1]  # [BD, 1]
     dyc = det_ref[:, 1:2]
     drad = det_ref[:, 6:7]
@@ -135,16 +135,19 @@ def _iou_block_kernel(det_ref, trk_ref, out_ref):
             bx, by, ax, ay, True
         )
         inter = jnp.where(far, 0.0, jnp.abs(s) * 0.5)
-        union = darea + tarea - inter
-        out_ref[:] = jnp.where(
-            inter > 0.0, inter / jnp.where(inter > 0.0, union, 1.0), 0.0
-        )
+        if want_iou:
+            union = darea + tarea - inter
+            out_ref[:] = jnp.where(
+                inter > 0.0, inter / jnp.where(inter > 0.0, union, 1.0), 0.0
+            )
+        else:
+            out_ref[:] = inter
 
 
 @lru_cache(maxsize=None)
-def _compiled_call(d: int, t: int, interpret: bool):
+def _compiled_call(d: int, t: int, interpret: bool, want_iou: bool = True):
     return pl.pallas_call(
-        _iou_block_kernel,
+        partial(_pair_block, want_iou=want_iou),
         grid=(d // _BD, t // _BT),
         in_specs=[
             pl.BlockSpec((_BD, 8), lambda i, j: (i, 0),
@@ -179,3 +182,22 @@ def oriented_iou_blockskip(det_box: jax.Array, trk_box: jax.Array,
     iou = _compiled_call(dpad, tpad, interpret)(det8, trk8.T)
     iou = iou[:d, :t]
     return iou, iou > 0.0
+
+
+def oriented_inter_blockskip(det_box: jax.Array, trk_box: jax.Array,
+                             interpret: bool = False):
+    """Pairwise rotated intersection AREA via the block-skip kernel
+    (the NMS overlap criterion needs inter/area_j, not IoU)."""
+    d = det_box.shape[0]
+    t = trk_box.shape[0]
+    dpad = -(-d // _BD) * _BD
+    tpad = -(-t // _BT) * _BT
+    det8 = clip_columns(det_box)
+    trk8 = clip_columns(trk_box)
+    if dpad != d:
+        det8 = jnp.pad(det8, ((0, dpad - d), (0, 0)))
+    if tpad != t:
+        trk8 = jnp.pad(trk8, ((0, tpad - t), (0, 0)))
+    inter = _compiled_call(dpad, tpad, interpret, want_iou=False)(
+        det8, trk8.T)
+    return inter[:d, :t]

@@ -105,3 +105,22 @@ def test_sorted_match_path_matches_plain_step():
         np.testing.assert_array_equal(pi, si, err_msg=f"ids step {e}")
         np.testing.assert_array_equal(pn, sn, err_msg=f"is_new step {e}")
         np.testing.assert_array_equal(ps, ss, err_msg=f"slots step {e}")
+
+
+def test_nms_block_skip_matches_dense():
+    """Sorted block-skip NMS (round 4) must keep exactly the same boxes as
+    the dense kernel — the fixpoint runs in sorted space with rank-payload
+    ordering, so the greedy result is order-identical."""
+    from similari_tpu.ops.nms import nms_kernel
+
+    rng = np.random.default_rng(5)
+    for n, frac in ((64, 1.0), (300, 0.9)):
+        b = _boxes(rng, n, spread=60.0 * np.sqrt(n))
+        valid = rng.uniform(size=n) < frac
+        boxes = jnp.asarray(b)
+        v = jnp.asarray(valid)
+        dense = nms_kernel(boxes, v, jnp.float32(0.7), True,
+                           block_skip=False)
+        blk = nms_kernel(boxes, v, jnp.float32(0.7), True, block_skip=True)
+        np.testing.assert_array_equal(np.asarray(dense), np.asarray(blk),
+                                      err_msg=f"n={n}")
