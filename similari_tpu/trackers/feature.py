@@ -197,7 +197,11 @@ class FeatureTracker:
         if n_new:
             slot[is_new] = self._used + np.arange(n_new)
         mt = slot[matched]
-        if mt.size == np.unique(mt).size:
+        # duplicate-winner check: Python set beats np.unique below ~64
+        # entries (~7 us -> ~1 us per call at 10 objects)
+        distinct = (len(set(mt.tolist())) if mt.size <= 64
+                    else np.unique(mt).size)
+        if mt.size == distinct:
             if n_new:
                 ns = slot[is_new]
                 self._ids[ns] = self._next_id + 1 + np.arange(n_new)
