@@ -393,6 +393,11 @@ class TrackStore:
         return res
 
     def get(self, track_id: int) -> Optional[Track]:
+        # hands out a MUTABLE Track handle: pessimistically invalidate the
+        # feature index so in-place observation edits through the handle
+        # can't serve stale cached distances (round-4 review finding; the
+        # index rebuild is lazy, so read-only gets only cost a counter)
+        self._mutations += 1
         return self.tracks.get(track_id)
 
     def merge_external(

@@ -3,8 +3,14 @@
 // the same Green's-theorem boundary integral with per-edge Liang–Barsky
 // clipping, the same pair recentring, all in f32.  The host tracker steps
 // (sortstep.cpp / visualstep.cpp) use this so host and device engines stay
-// id-exact on oriented streams; native/nms.cpp keeps its own f64
-// Sutherland–Hodgman path (NMS parity target is the reference semantics,
+// id-exact on oriented streams ON THE CPU TEST MESH, where both sides use
+// the exact JV solver (tests/test_host_sort.py fuzzed configs).  On a real
+// TPU the device engine resolves near-ties differently by construction —
+// the auction solver, and above the block-sort gate the x-sorted Pallas
+// clip whose recentring differs by ~1 ulp — which is within the
+// reference's own tie nondeterminism (SURVEY.md §7), not an exactness
+// target.  native/nms.cpp keeps its own f64 Sutherland–Hodgman path (NMS
+// parity target is the reference semantics,
 // /root/reference/src/utils/bbox.rs:476-509, not the jitted step).
 
 #pragma once
@@ -98,6 +104,9 @@ inline float rotated_iou_f32(const float* a, const float* b) {
   const float inter = rotated_intersection_f32(a, b);
   if (!(inter > 0.0f)) return 0.0f;
   const float uni = a[3] * a[4] * a[4] + b[3] * b[4] * b[4] - inter;
+  // uni > 0 guards degenerate zero-area boxes (geometry.universal_iou
+  // parity: float roundoff can leave inter marginally above a ~0 union)
+  if (!(uni > 0.0f)) return 0.0f;
   return inter / uni;
 }
 

@@ -339,7 +339,10 @@ def universal_iou(a: jax.Array, b: jax.Array, oriented: bool = True):
     """
     inter = rotated_intersection(a, b) if oriented else aligned_intersection(a, b)
     union = box_area(a) + box_area(b) - inter
-    valid = inter > 0.0
+    # union > 0 guards degenerate zero-area boxes: float roundoff can leave
+    # inter marginally above a ~0 union and the division explodes (see
+    # pallas_clip._pair_block; in exact math inter <= union always)
+    valid = (inter > 0.0) & (union > 0.0)
     iou = jnp.where(valid, inter / jnp.where(valid, union, 1.0), 0.0)
     return iou, valid
 
@@ -388,7 +391,7 @@ def _universal_iou_matrix_topk(a: jax.Array, b: jax.Array, k: int):
     """Radius-pruned rotated IoU (see rotated_intersection_topk)."""
     inter = rotated_intersection_topk(a, b, k)
     union = box_area(a)[:, None] + box_area(b)[None, :] - inter
-    valid = inter > 0.0
+    valid = (inter > 0.0) & (union > 0.0)  # degenerate-box guard (see above)
     iou = jnp.where(valid, inter / jnp.where(valid, union, 1.0), 0.0)
     return iou, valid
 

@@ -136,9 +136,16 @@ def _pair_block(det_ref, trk_ref, out_ref, want_iou: bool):
         )
         inter = jnp.where(far, 0.0, jnp.abs(s) * 0.5)
         if want_iou:
+            # union > 0 guard: a degenerate (zero-area) box near a real one
+            # is NOT too_far, clips to the full real-box area, and leaves
+            # union at +-1 ulp of zero — unguarded, that division emitted
+            # ~1e7-magnitude garbage IoU (round-4 review repro).  In exact
+            # math inter <= min(area) <= union, so the guard only fires on
+            # degenerate/garbage rows, which must come out 0.
             union = darea + tarea - inter
+            pos = (inter > 0.0) & (union > 0.0)
             out_ref[:] = jnp.where(
-                inter > 0.0, inter / jnp.where(inter > 0.0, union, 1.0), 0.0
+                pos, inter / jnp.where(pos, union, 1.0), 0.0
             )
         else:
             out_ref[:] = inter
@@ -165,10 +172,10 @@ def _compiled_call(d: int, t: int, interpret: bool, want_iou: bool = True):
 def oriented_iou_blockskip(det_box: jax.Array, trk_box: jax.Array,
                            interpret: bool = False):
     """Pairwise rotated IoU det[D,5] x trk[T,5] -> (iou[D,T], valid[D,T])
-    via the block-skip kernel.  D and T are padded to 128 internally;
-    callers mask padded rows/columns themselves (garbage pads produce
-    finite zeros: zero-size boxes are `too_far` everywhere except exactly
-    coincident centers, where the clip area is 0)."""
+    via the block-skip kernel.  D and T are padded to 128 internally and
+    degenerate (zero-area) rows come out as exactly 0/invalid (the kernel
+    guards the union division); callers still mask padded rows/columns
+    for semantic correctness."""
     d = det_box.shape[0]
     t = trk_box.shape[0]
     dpad = -(-d // _BD) * _BD

@@ -127,6 +127,8 @@ def rotated_iou_matrix_np(det: np.ndarray, trk: np.ndarray):
     """Pairwise rotated IoU det[D,5] x trk[C,5] -> (iou[D,C], valid[D,C])."""
     inter = rotated_intersection_np(det[:, None, :], trk[None, :, :])
     union = box_area_np(det)[:, None] + box_area_np(trk)[None, :] - inter
-    valid = inter > _F0
+    # union > 0 guards degenerate zero-area boxes (geometry.universal_iou
+    # parity — see the note there)
+    valid = (inter > _F0) & (union > _F0)
     iou = np.where(valid, inter / np.where(valid, union, _F1), _F0)
     return iou, valid

@@ -487,6 +487,23 @@ class VisualSort:
             self._engine in ("host", "auto")
             and self._cfg.feature_precision == "f32"
         )
+        # own-area shares when gating is on and the caller didn't supply
+        # them: the host engine always uses the exact polygon oracle, and
+        # the DEVICE engine needs the oracle too whenever the config says
+        # own_area_backend="host" (only backend="device" computes shares
+        # inside the jitted step — review finding r4: the device branch
+        # previously fell through to neutral 1.0 shares, silently disabling
+        # the gates predict(observation_set) applies)
+        if gating and own_area is None and (
+            use_host or self._cfg.own_area_backend == "host"
+        ):
+            own_area = np.asarray(
+                exclusively_owned_areas_normalized_shares(
+                    [_box_from_row(det_box[i], float(det_conf[i]))
+                     for i in range(d)]
+                ),
+                np.float32,
+            )
         if use_host:
             from .. import native
             from . import host_sort, host_visual
@@ -496,15 +513,6 @@ class VisualSort:
                 store.state = host_sort.state_to_host(store.state)
                 store.host = True
                 store.session = None
-            # own-area on the host engine: always the exact polygon oracle
-            if gating and own_area is None:
-                own_area = np.asarray(
-                    exclusively_owned_areas_normalized_shares(
-                        [_box_from_row(det_box[i], float(det_conf[i]))
-                         for i in range(d)]
-                    ),
-                    np.float32,
-                )
             oa = (own_area if own_area is not None
                   else np.ones((d,), np.float32))
             # native step vs NumPy/BLAS split: since the SIMD dot fix

@@ -124,3 +124,28 @@ def test_nms_block_skip_matches_dense():
         blk = nms_kernel(boxes, v, jnp.float32(0.7), True, block_skip=True)
         np.testing.assert_array_equal(np.asarray(dense), np.asarray(blk),
                                       err_msg=f"n={n}")
+
+
+def test_degenerate_box_iou_is_exact_zero():
+    """Round-4 review repro: a zero-area box near a real one is NOT too_far,
+    clips to the full real-box area, and leaves union at ±1 ulp of zero —
+    the unguarded division emitted ~1e7-magnitude IoU.  All three engines
+    (Pallas kernel, dense XLA, NumPy host) must return 0/invalid."""
+    from similari_tpu.trackers.host_geometry import rotated_iou_matrix_np
+
+    real = np.array([[5.0, 0.0, 0.3, 1.5, 30.0]], np.float32)
+    degen = np.array([[0.0, 0.0, 0.0, 0.0, 0.0],   # zero everything
+                      [2.0, 1.0, 0.5, 2.0, 0.0],   # zero height
+                      [3.0, 0.0, 0.1, 0.0, 25.0]], np.float32)  # zero aspect
+    # zero-area boxes must never explode (the unguarded division gave
+    # |iou| ~ 1e7); roundoff-scale positives (~1e-9, from clipping against
+    # a zero-width segment quad) are acceptable — they are below any
+    # usable IoU threshold
+    iou_blk, _ = oriented_iou_blockskip(
+        jnp.asarray(real), jnp.asarray(degen), interpret=True)
+    assert float(np.abs(np.asarray(iou_blk)).max()) < 1e-6
+    iou_xla, _ = geo.universal_iou_matrix(
+        jnp.asarray(real), jnp.asarray(degen), oriented=True)
+    assert float(np.abs(np.asarray(iou_xla)).max()) < 1e-6
+    iou_np, _ = rotated_iou_matrix_np(real, degen)
+    assert float(np.abs(iou_np).max()) < 1e-6

@@ -146,3 +146,69 @@ def test_own_area_collect_gate():
     merged = [tr for tr in v if tr.custom_object_id == 1][0]
     assert merged.length == 2
     assert int(np.asarray(t._scenes[0].state.collected)[slot]) == 1  # unchanged
+
+
+def test_predict_arrays_applies_host_own_area_on_device_engine():
+    """Round-4 review finding: predict_arrays with own-area gating enabled,
+    own_area_backend="host" and the DEVICE engine silently used neutral
+    shares (gates disabled).  The two APIs must gate identically."""
+    import numpy as np
+
+    from similari_tpu import (
+        PositionalMetricType, VisualSort, VisualSortMetricType,
+        VisualSortObservation, VisualSortObservationSet, VisualSortOptions,
+    )
+    from similari_tpu.utils.bbox import Universal2DBox
+
+    def boxes():
+        # three heavily-overlapping boxes: the middle one is mostly covered,
+        # so its own-area share fails the 0.6 use/collect gates
+        return np.array([[50.0, 50.0, 0.0, 1.0, 40.0],
+                         [58.0, 50.0, 0.0, 1.0, 40.0],
+                         [120.0, 50.0, 0.0, 1.0, 40.0]], np.float32)
+
+    def make(engine):
+        opts = (VisualSortOptions()
+                .visual_metric(VisualSortMetricType.euclidean(5.0))
+                .positional_metric(PositionalMetricType.iou(0.3))
+                .visual_minimal_track_length(1)
+                .visual_minimal_own_area_percentage_use(0.6)
+                .visual_minimal_own_area_percentage_collect(0.6)
+                .own_area_backend("host"))
+        return VisualSort(1, opts, engine=engine)
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(3, 16)).astype(np.float32)
+
+    def via_objects(tr):
+        out = []
+        for step in range(3):
+            obs = VisualSortObservationSet()
+            b = boxes()
+            b[:, 0] += step
+            for i in range(3):
+                obs.add(VisualSortObservation(
+                    feats[i], 0.9,
+                    Universal2DBox.from_vec5(b[i], 0.9), i))
+            out.append(sorted((t.id, t.voting_type.name)
+                              for t in tr.predict_with_scene(0, obs)))
+        return out
+
+    def via_arrays(tr):
+        out = []
+        for step in range(3):
+            b = boxes()
+            b[:, 0] += step
+            _, ids, _, _, _, vt = tr.predict_arrays(
+                0, b, np.full((3,), 0.9, np.float32), feats,
+                np.ones((3,), bool), np.full((3,), 0.9, np.float32))
+            out.append(sorted(
+                (int(i), "Visual" if v == 0 else "Positional")
+                for i, v in zip(ids, vt)))
+        return out
+
+    want = via_objects(make("device"))
+    got = via_arrays(make("device"))
+    assert got == want, (got, want)
+    got_host = via_arrays(make("host"))
+    assert got_host == want, (got_host, want)
