@@ -109,6 +109,43 @@ class BatchedSimpleMetric(SimpleMetric):
             return (_f32_metric(e1.attr(), e2.attr()), mq.precomputed_distance)
         return super().metric(mq)
 
+    def batch_records(self, from_id, to_ids, left_obs, right_attrs, pre):
+        """Bulk record stream (round-5 VERDICT item 6): the whole
+        `ObservationMetricOk` list in one pass — the attribute part
+        (|l - r|) vectorized over the store columns, no per-pair
+        `MetricQuery` objects."""
+        from itertools import repeat
+
+        import numpy as np
+
+        from .track import ObservationMetricOk
+
+        n = len(to_ids)
+        tl = to_ids.tolist()
+        try:  # common case: all attrs are plain floats, one C-loop convert
+            ra = np.asarray(right_attrs, np.float64)
+            any_none = False
+        except (TypeError, ValueError):
+            any_none = True
+            ra = np.array(
+                [np.nan if a is None else float(a) for a in right_attrs],
+                np.float64,
+            )
+        out = []
+        for i, lo in enumerate(left_obs):
+            la = lo.attr()
+            fd = np.asarray(pre[i], np.float64).tolist()
+            if la is None:
+                out.extend(map(ObservationMetricOk, repeat(from_id, n), tl,
+                               repeat(None, n), fd))
+                continue
+            am = np.abs(float(la) - ra).tolist()
+            if any_none:
+                am = [None if x != x else x for x in am]
+            out.extend(map(ObservationMetricOk, repeat(from_id, n), tl,
+                           am, fd))
+        return out
+
 
 
 class BBoxAttributes(TrackAttributes):

@@ -53,13 +53,14 @@ class _FeatureIndex:
     (`store.rs:429-460`): one sgemm sweeps every stored observation.
     """
 
-    __slots__ = ("rows", "to_id", "obs_ix", "norm", "spans")
+    __slots__ = ("rows", "to_id", "obs_ix", "norm", "spans", "attrs")
 
-    def __init__(self, rows, to_id, obs_ix, spans):
+    def __init__(self, rows, to_id, obs_ix, spans, attrs):
         self.rows = rows
         self.to_id = to_id
         self.obs_ix = obs_ix
         self.spans = spans  # {track_id: (start, stop)} contiguous runs
+        self.attrs = attrs  # per-row observation attribute (list, may hold None)
         self.norm = None  # lazy row norms (cosine / euclid squared)
 
 
@@ -82,7 +83,7 @@ class TrackStore:
         cached = self._findex.get(feature_class)
         if cached is not None and cached[0] == self._mutations:
             return cached[1]
-        rows, to_id, obs_ix = [], [], []
+        rows, to_id, obs_ix, attrs = [], [], [], []
         spans: Dict[int, Tuple[int, int]] = {}
         dim = None
         index: Optional[_FeatureIndex] = None
@@ -101,6 +102,7 @@ class TrackStore:
                 rows.append(f)
                 to_id.append(tid)
                 obs_ix.append(j)
+                attrs.append(o.attr())
             if not ok:
                 break
             spans[tid] = (start, len(rows))
@@ -110,6 +112,7 @@ class TrackStore:
                 np.asarray(to_id, np.int64),
                 np.asarray(obs_ix, np.int64),
                 spans,
+                attrs,
             )
         self._findex[feature_class] = (self._mutations, index)
         return index
@@ -172,9 +175,19 @@ class TrackStore:
         are returned in the error list.  `postprocess_distances` runs per
         candidate-vs-track batch like the per-shard batches of the reference.
         """
+        from .track import ObservationMetric
+
         batch_kind = getattr(self.metric, "supports_batch_features", None)
         distances: List[ObservationMetricOk] = []
         errors: List[Exception] = []
+        # bulk record stream (round-5 VERDICT item 6): when the metric also
+        # implements `batch_records` and keeps the default postprocess, the
+        # whole per-candidate loop below collapses into one vectorized
+        # record build — no per-pair MetricQuery objects
+        bulk_ok = batch_kind and (
+            type(self.metric).postprocess_distances
+            is ObservationMetric.postprocess_distances
+        )
         for cand in tracks:
             # one sgemm against the whole store's feature index, sliced per
             # track below (replaces both the reference's per-shard threads
@@ -183,6 +196,12 @@ class TrackStore:
             if batch_kind:
                 pre_all, spans = self._sweep_candidate(
                     cand, feature_class, batch_kind)
+            if bulk_ok and pre_all is not None:
+                recs = self._bulk_records(
+                    cand, feature_class, pre_all, only_baked, errors)
+                if recs is not None:
+                    distances.extend(recs)
+                    continue
             for other_id, other in self.tracks.items():
                 if cand.track_id == other_id:
                     continue
@@ -210,6 +229,101 @@ class TrackStore:
                 except Exception as e:  # noqa: BLE001 - error stream parity
                     errors.append(e)
         return distances, errors
+
+    def _bulk_records(self, cand: Track, feature_class: int,
+                      pre_all: np.ndarray, only_baked: bool,
+                      errors: List[Exception]):
+        """One-shot record stream for a candidate (round-5 VERDICT item 6).
+
+        Filters store columns by compatibility/bake status per track (the
+        same predicate as the per-pair loop), then asks the metric's
+        `batch_records` for the whole `ObservationMetricOk` list.  The
+        emitted order matches the per-pair loop exactly: track-major (store
+        iteration order), then candidate observation, then track
+        observation.  Returns None to fall back to the per-pair path
+        (errors is untouched in that case — the exact loop re-derives it).
+        """
+        index = self._feature_index(feature_class)
+        left = cand.observations.get(feature_class)
+        n_rows = index.rows.shape[0]
+        keep = np.ones(n_rows, bool)
+        new_errors: List[Exception] = []
+        # per-track predicate loop — the bulk path's only O(tracks) Python
+        # loop, so it is written for the interpreter: bound methods hoisted,
+        # branches split on only_baked, slice-stores only on failures
+        cid = cand.track_id
+        compatible = cand.attributes.compatible
+        tracks = self.tracks
+        ready = TrackStatus.Ready
+        if only_baked:
+            for tid, (s0, s1) in index.spans.items():
+                if tid != cid:
+                    other = tracks[tid]
+                    if compatible(other.attributes):
+                        try:
+                            if (other.get_attributes()
+                                    .baked(other.observations) is ready):
+                                continue
+                        except Exception:  # noqa: BLE001 - skip silently
+                            pass
+                keep[s0:s1] = False
+        else:
+            for tid, (s0, s1) in index.spans.items():
+                if tid == cid or not compatible(tracks[tid].attributes):
+                    keep[s0:s1] = False
+        # error-stream parity: compatible (and baked, when filtering)
+        # tracks with NO observations of this class raise
+        # ObservationForClassNotFound in the per-pair loop
+        if len(index.spans) < len(self.tracks):
+            for tid, other in self.tracks.items():
+                if tid == cand.track_id or tid in index.spans:
+                    continue
+                ok = cand.attributes.compatible(other.attributes)
+                if ok and only_baked:
+                    try:
+                        ok = (other.get_attributes().baked(other.observations)
+                              == TrackStatus.Ready)
+                    except Exception:  # noqa: BLE001
+                        ok = False
+                if ok:
+                    new_errors.append(ObservationForClassNotFound(
+                        f"class {feature_class} for "
+                        f"{cand.track_id}/{tid}"))
+        to_ids = index.to_id[keep]
+        if len(to_ids) == 0:
+            errors.extend(new_errors)
+            return []
+        right_attrs = (index.attrs if keep.all()
+                       else [a for a, k in zip(index.attrs, keep) if k])
+        pre_k = pre_all[:, keep]
+        try:
+            recs = self.metric.batch_records(
+                cand.track_id, to_ids, left, right_attrs, pre_k)
+        except Exception:  # noqa: BLE001 - metric error -> exact path
+            return None
+        if recs is None:
+            return None
+        l = len(left)
+        if l > 1:
+            # batch_records emits candidate-major [L x N]; restore the
+            # per-pair loop's track-major order (columns are already
+            # track-contiguous, so single-observation candidates need none)
+            starts = np.fromiter(
+                (s0 for s0, _ in index.spans.values()), np.int64,
+                len(index.spans))
+            stops = np.fromiter(
+                (s1 for _, s1 in index.spans.values()), np.int64,
+                len(index.spans))
+            track_rank = np.repeat(
+                np.arange(len(index.spans), dtype=np.int64), stops - starts)
+            trk = track_rank[keep]
+            n = len(to_ids)
+            i_flat = np.repeat(np.arange(l), n)
+            j_flat = np.tile(np.arange(n), l)
+            perm = np.lexsort((j_flat, i_flat, trk[j_flat]))
+            recs = [recs[k] for k in perm]
+        errors.extend(new_errors)
+        return recs
 
     def _sweep_candidate(self, cand: Track, feature_class: int, kind: str):
         """Candidate-obs x whole-store distance matrix via the lazy feature

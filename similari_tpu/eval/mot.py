@@ -52,10 +52,16 @@ def write_csv(file_path, rows):
 
 
 def ltwh_to_vec5(dets: np.ndarray) -> np.ndarray:
-    """[N, >=4] LTWH -> [N,5] (xc, yc, 0, aspect, height)."""
+    """[N, >=4] LTWH -> [N,5] (xc, yc, angle, aspect, height).
+
+    A 6th column, when present, is a per-box rotation angle (the synthetic
+    oriented scenarios); MOT csv rows have none and the angle stays 0.
+    """
     out = np.zeros((len(dets), 5), np.float32)
     out[:, 0] = dets[:, 0] + dets[:, 2] / 2.0
     out[:, 1] = dets[:, 1] + dets[:, 3] / 2.0
+    if dets.shape[1] >= 6:
+        out[:, 2] = dets[:, 5]
     out[:, 3] = dets[:, 2] / np.maximum(dets[:, 3], 1e-6)
     out[:, 4] = dets[:, 3]
     return out
@@ -90,6 +96,46 @@ def run_sequence_interactive(
         confs = np.clip(dets[:, 4], 0.0, 1.0).astype(np.float32)
         _, ids, pred, _, _ = tracker.predict_arrays(0, boxes, confs)
         ltwh = vec5_to_ltwh(pred)
+        out[frame] = [
+            (int(ids[i]), *map(float, ltwh[i])) for i in range(len(ids))
+        ]
+    return out
+
+
+def run_sequence_interactive_visual(
+    tracker, detections: Detections, features: Dict[int, List],
+    qualities: Optional[Dict[int, List[float]]] = None,
+) -> Dict[int, List[Tuple[int, float, float, float, float]]]:
+    """Frame-by-frame VisualSORT run via `VisualSort.predict_arrays`.
+
+    `features[frame][i]` aligns with `detections[frame][i]` (None = no
+    ReID); reports the OBSERVED box per track id, matching
+    `run_sequence_device_visual`'s `report_observed=True` default.
+    """
+    out: Dict[int, List] = {}
+    prev = None
+    for frame in sorted(detections):
+        if prev is not None and frame - prev > 1:
+            tracker.skip_epochs_for_scene(0, int(frame - prev - 1))
+        prev = frame
+        dets = np.asarray(detections[frame], np.float32)
+        boxes = ltwh_to_vec5(dets)
+        confs = np.clip(dets[:, 4], 0.0, 1.0).astype(np.float32)
+        frow = features.get(frame, [])
+        fdim = max((len(x) for x in frow if x is not None), default=1)
+        feat = np.zeros((len(dets), fdim), np.float32)
+        fvalid = np.zeros((len(dets),), bool)
+        for i, fv in enumerate(frow[: len(dets)]):
+            if fv is not None:
+                feat[i, : len(fv)] = fv
+                fvalid[i] = True
+        qual = np.ones((len(dets),), np.float32)
+        if qualities is not None:
+            q = qualities.get(frame, [])[: len(dets)]
+            qual[: len(q)] = q
+        _, ids, _pred, _, _, _ = tracker.predict_arrays(
+            0, boxes, confs, feat, fvalid, qual)
+        ltwh = np.asarray(detections[frame], np.float32)[:, :4]
         out[frame] = [
             (int(ids[i]), *map(float, ltwh[i])) for i in range(len(ids))
         ]
@@ -276,17 +322,29 @@ def run_sequence_device_visual(
     gallery: int = 3,
     report_observed: bool = True,
     engine: str = "xla",
+    assignment: str = "auction",
+    feature_precision: str = "bf16",
+    qualities: Optional[Dict[int, List[float]]] = None,
+    **cfg_overrides,
 ) -> Tuple[Dict[int, List[Tuple[int, float, float, float, float]]], float]:
     """VisualSORT whole-sequence device pipeline (detections + ReID features).
 
     `features[frame][i]` aligns with `detections[frame][i]`; None entries fall
-    back to positional voting for that detection.
+    back to positional voting for that detection.  `qualities` optionally
+    carries per-detection feature quality (default 1.0); detection rows may
+    carry a 6th angle column (oriented scenarios) — pass oriented=True then.
 
     engine="pallas" runs the fused VisualSORT-on-chip kernel
     (`ops/pallas_visual.py`, state + gallery VMEM-resident — the fastest
     single-scene path, ×1.3-1.45 over the XLA step on v5e); "xla" is the
     general default.  Both are id-exact (property-tested parity).
+    `assignment` picks the positional solver inside the cascade ("auction"
+    on-device Jacobi vs "native"/"scipy" exact host JV), and remaining
+    keyword args override `VisualConfig` fields directly (own-area gating,
+    positional_kind, min_votes, ... — the adversarial-suite axes).
     """
+    import dataclasses as _dc
+
     import jax
     import jax.numpy as jnp
 
@@ -319,6 +377,9 @@ def run_sequence_device_visual(
             if fv is not None:
                 feat[s, i, : len(fv)] = fv
                 fvalid[s, i] = True
+        if qualities is not None:
+            q = qualities.get(f, [])[:n]
+            qual[s, : len(q)] = q
 
     cfg = VisualConfig(
         positional_kind="iou",
@@ -327,11 +388,28 @@ def run_sequence_device_visual(
         visual_threshold=visual_threshold,
         visual_minimal_track_length=minimal_track_length,
         max_idle_epochs=max_idle_epochs,
-        assignment="auction",
+        assignment=assignment,
         oriented=False,
-        feature_precision="bf16",
+        feature_precision=feature_precision,
         recycle_idle=True,
     )
+    if cfg_overrides:
+        cfg = _dc.replace(cfg, **cfg_overrides)
+    # host own-area backend: the shares must be precomputed per frame with
+    # the exact f64 polygon oracle (the device backend computes them inside
+    # the jitted step and ignores `oa`)
+    if (cfg.own_area_use > 0.0 or cfg.own_area_collect > 0.0) and \
+            cfg.own_area_backend == "host":
+        from ..utils.bbox import Universal2DBox
+        from ..utils.clipping import (
+            exclusively_owned_areas_normalized_shares,
+        )
+
+        for s, f in enumerate(frames):
+            n = int(valid[s].sum())
+            boxes = [Universal2DBox.from_vec5(box[s, i], float(conf[s, i]))
+                     for i in range(n)]
+            oa[s, :n] = exclusively_owned_areas_normalized_shares(boxes)
     state = new_visual_state(capacity, 1, gallery, fdim)
     if engine == "pallas":
         from ..ops.pallas_visual import compiled_pallas_visual_scan

@@ -46,6 +46,52 @@ def test_adversarial_axes_within_parity_bar(scenario):
         assert abs(idf1 - base[1]) <= 0.5, (scenario, axis, scores)
 
 
+def test_adversarial_visual_axes_within_parity_bar():
+    """VisualSORT engine axes on a ReID-featured adversarial stream
+    (round-5 VERDICT item 1, reduced CI subset: host engine vs device
+    auction vs the production bf16 gallery)."""
+    from similari_tpu.eval.mot import (
+        run_sequence_device_visual,
+        run_sequence_interactive_visual,
+    )
+    from similari_tpu.eval.synthetic import (
+        generate_reid_adversarial_sequence,
+    )
+    from similari_tpu.trackers import (
+        VisualSort, VisualSortMetricType, VisualSortOptions,
+    )
+
+    gt, dets, feats, quals = generate_reid_adversarial_sequence(
+        "reid_crossing", seed=0, n_frames=80)
+    kw = dict(visual_kind="cosine", visual_threshold=0.5,
+              minimal_track_length=3, iou_threshold=0.3, max_idle_epochs=5,
+              gallery=3, capacity=256, qualities=quals,
+              visual_minimal_quality_use=0.2,
+              visual_minimal_quality_collect=0.6)
+    opts = VisualSortOptions()
+    opts.visual_metric(VisualSortMetricType.cosine(0.5))
+    opts.visual_minimal_track_length(3)
+    opts.visual_max_observations(3)
+    opts.max_idle_epochs(5)
+    opts.visual_minimal_quality_use(0.2)
+    opts.visual_minimal_quality_collect(0.6)
+    host = VisualSort(1, opts, initial_capacity=256, engine="host",
+                      assignment_backend="native")
+    scores = {}
+    pred = run_sequence_interactive_visual(host, dets, feats, quals)
+    scores["vhost"] = (clear_metrics(gt, pred)["MOTA"] * 100,
+                       identity_metrics(gt, pred)["IDF1"] * 100)
+    for axis, fp in (("vauction", "f32"), ("vbf16", "bf16")):
+        pred, _ = run_sequence_device_visual(
+            dets, feats, assignment="auction", feature_precision=fp, **kw)
+        scores[axis] = (clear_metrics(gt, pred)["MOTA"] * 100,
+                        identity_metrics(gt, pred)["IDF1"] * 100)
+    base = scores["vhost"]
+    for axis, (mota, idf1) in scores.items():
+        assert abs(mota - base[0]) <= 0.5, (axis, scores)
+        assert abs(idf1 - base[1]) <= 0.5, (axis, scores)
+
+
 def test_idle_gap_scenario_shapes():
     """Gaps must actually remove detections while gt keeps the objects."""
     gt, dets = generate_adversarial_sequence("idle_gaps", seed=1)
