@@ -243,10 +243,18 @@ def generate_reid_adversarial_sequence(scenario: str, seed: int = 0,
                        on reappearance rides the gallery
       reid_oriented  — reid_crossing with rotating boxes (oriented clip
                        kernels inside the visual cascade)
+      reid_confusable — crossing with CORRELATED identities: every
+                       embedding shares a dominant common component, so
+                       cross-identity cosine sits near the 0.5 use-gate
+                       and same-identity (drifted, occlusion-mixed)
+                       features are barely above it — the decision
+                       margins shrink to the scale of the bf16 gallery
+                       quantization and solver tie-breaks, which is what
+                       lets the engine axes actually diverge
     """
     rng = np.random.default_rng(seed + 1000)
     oriented = scenario == "reid_oriented"
-    if scenario in ("reid_crossing", "reid_oriented"):
+    if scenario in ("reid_crossing", "reid_oriented", "reid_confusable"):
         gt, dets = _crossing_geometry(
             rng, n_frames=n_frames, n_pairs=16, pos_noise=3.0,
             pass_offset=5.0, oriented=oriented)
@@ -275,6 +283,13 @@ def generate_reid_adversarial_sequence(scenario: str, seed: int = 0,
 
     identities = rng.normal(size=(n, feature_dim)).astype(np.float64)
     identities /= np.linalg.norm(identities, axis=1, keepdims=True)
+    if scenario == "reid_confusable":
+        # shared dominant component: cross-identity cosine ~ 1/(1+c^2)
+        # with c = 1 -> ~0.5, i.e. AT the use-gate threshold
+        common = rng.normal(size=feature_dim)
+        common /= np.linalg.norm(common)
+        identities = common[None, :] + 1.0 * identities
+        identities /= np.linalg.norm(identities, axis=1, keepdims=True)
     drift = rng.normal(size=(n, feature_dim)) * 0.004  # per-frame walk
     feats: Dict[int, List] = {}
     quals: Dict[int, List] = {}

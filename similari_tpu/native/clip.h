@@ -23,29 +23,134 @@ struct QuadF {
   float x[4], y[4];
 };
 
-// geometry.box_vertices order, vec5 = (xc, yc, angle, aspect, height)
-inline void box_vertices_f32(const float* b, QuadF& q) {
+// Per-box rotation offsets (angle/size only — independent of position and
+// of the per-pair recentring).  Hoisting these out of the pair loop kills
+// the cos/sin per pair, bit-exactly: box_vertices computes
+// q.x[0] = center_x + r1x with the SAME r1x whether the center was
+// recentred first or not (round-5 VERDICT item 7).
+struct QuadRot {
+  float r1x, r1y, r2x, r2y;
+};
+
+inline void box_rot_f32(const float* b, QuadRot& r) {
   const float c = std::cos(b[2]);
   const float s = std::sin(b[2]);
   const float hw = b[3] * b[4] * 0.5f;
   const float hh = b[4] * 0.5f;
-  const float r1x = -hw * c - hh * s, r1y = -hw * s + hh * c;
-  const float r2x = hw * c - hh * s, r2y = hw * s + hh * c;
-  q.x[0] = b[0] + r1x; q.y[0] = b[1] + r1y;
-  q.x[1] = b[0] + r2x; q.y[1] = b[1] + r2y;
-  q.x[2] = b[0] - r1x; q.y[2] = b[1] - r1y;
-  q.x[3] = b[0] - r2x; q.y[3] = b[1] - r2y;
+  r.r1x = -hw * c - hh * s; r.r1y = -hw * s + hh * c;
+  r.r2x = hw * c - hh * s;  r.r2y = hw * s + hh * c;
+}
+
+inline void quad_from_rot(float cx, float cy, const QuadRot& r, QuadF& q) {
+  q.x[0] = cx + r.r1x; q.y[0] = cy + r.r1y;
+  q.x[1] = cx + r.r2x; q.y[1] = cy + r.r2y;
+  q.x[2] = cx - r.r1x; q.y[2] = cy - r.r1y;
+  q.x[3] = cx - r.r2x; q.y[3] = cy - r.r2y;
+}
+
+// geometry.box_vertices order, vec5 = (xc, yc, angle, aspect, height)
+inline void box_vertices_f32(const float* b, QuadF& q) {
+  QuadRot r;
+  box_rot_f32(b, r);
+  quad_from_rot(b[0], b[1], r, q);
 }
 
 inline float cross2(float ax, float ay, float bx, float by) {
   return ax * by - ay * bx;
 }
 
+#if defined(__GNUC__) && defined(__SSE2__)
+#define SIMILARI_CLIP_SIMD 1
+typedef float v16sf __attribute__((vector_size(64)));
+typedef int v16si __attribute__((vector_size(64)));
+#endif
+
 // geometry._boundary_integral: sum of cross(p0, p1) over A's edges clipped
 // to convex quad B (Liang–Barsky per edge; collinear tie-break per pass).
+//
+// All 16 (edge, halfplane) pairs are evaluated in ONE 16-lane vector (GCC
+// vector extensions — the same tool as visualstep.cpp dot_f32; a
+// strict-FP scalar loop with the data-dependent max/min chain never
+// auto-vectorizes; AVX-512 executes the 16-lane ops natively, narrower
+// machines get compiler-synthesized splits).  Lane = edge*4 + halfplane;
+// the per-edge t0/t1/para reductions are in-register shuffles over the
+// 4-lane groups.  Bit-exact vs the scalar form: per-lane arithmetic is
+// identical and the only cross-lane ops are max/min/OR, which are exact
+// under any association.
 inline float boundary_integral_f32(const QuadF& A, const QuadF& B,
                                    bool tie_pass) {
   float total = 0.0f;
+#ifdef SIMILARI_CLIP_SIMD
+  // B halfplanes tiled across the 4 edge groups
+  const v16sf px = {B.x[0], B.x[1], B.x[2], B.x[3], B.x[0], B.x[1], B.x[2],
+                    B.x[3], B.x[0], B.x[1], B.x[2], B.x[3], B.x[0], B.x[1],
+                    B.x[2], B.x[3]};
+  const v16sf py = {B.y[0], B.y[1], B.y[2], B.y[3], B.y[0], B.y[1], B.y[2],
+                    B.y[3], B.y[0], B.y[1], B.y[2], B.y[3], B.y[0], B.y[1],
+                    B.y[2], B.y[3]};
+  const float dx0 = B.x[1] - B.x[0], dx1 = B.x[2] - B.x[1],
+              dx2 = B.x[3] - B.x[2], dx3 = B.x[0] - B.x[3];
+  const float dy0 = B.y[1] - B.y[0], dy1 = B.y[2] - B.y[1],
+              dy2 = B.y[3] - B.y[2], dy3 = B.y[0] - B.y[3];
+  const v16sf dx = {dx0, dx1, dx2, dx3, dx0, dx1, dx2, dx3,
+                    dx0, dx1, dx2, dx3, dx0, dx1, dx2, dx3};
+  const v16sf dy = {dy0, dy1, dy2, dy3, dy0, dy1, dy2, dy3,
+                    dy0, dy1, dy2, dy3, dy0, dy1, dy2, dy3};
+  // A edges broadcast within their group
+  const v16sf sx = {A.x[0], A.x[0], A.x[0], A.x[0], A.x[1], A.x[1], A.x[1],
+                    A.x[1], A.x[2], A.x[2], A.x[2], A.x[2], A.x[3], A.x[3],
+                    A.x[3], A.x[3]};
+  const v16sf sy = {A.y[0], A.y[0], A.y[0], A.y[0], A.y[1], A.y[1], A.y[1],
+                    A.y[1], A.y[2], A.y[2], A.y[2], A.y[2], A.y[3], A.y[3],
+                    A.y[3], A.y[3]};
+  const float ex0 = A.x[1] - A.x[0], ex1 = A.x[2] - A.x[1],
+              ex2 = A.x[3] - A.x[2], ex3 = A.x[0] - A.x[3];
+  const float ey0 = A.y[1] - A.y[0], ey1 = A.y[2] - A.y[1],
+              ey2 = A.y[3] - A.y[2], ey3 = A.y[0] - A.y[3];
+  const v16sf dex = {ex0, ex0, ex0, ex0, ex1, ex1, ex1, ex1,
+                     ex2, ex2, ex2, ex2, ex3, ex3, ex3, ex3};
+  const v16sf dey = {ey0, ey0, ey0, ey0, ey1, ey1, ey1, ey1,
+                     ey2, ey2, ey2, ey2, ey3, ey3, ey3, ey3};
+  const v16sf zero = {0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f,
+                      0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f, 0.0f};
+  const v16sf one = {1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f,
+                     1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f, 1.0f};
+  const v16sf a = dx * (sy - py) - dy * (sx - px);
+  const v16sf b = dx * dey - dy * dex;
+  const v16si bz = b == zero;
+  const v16sf tt = -a / (bz ? one : b);
+  v16sf t0v = (b < zero) ? tt : zero;
+  v16sf t1v = (b > zero) ? tt : one;
+  v16si para = bz & (a > zero);
+  if (tie_pass) {
+    const v16si same_dir = (dx * dex + dy * dey) >= zero;
+    para |= bz & (a == zero) & same_dir;
+  }
+  // in-group reductions: swap-within-pairs then swap-pairs
+  const v16si m1 = {1, 0, 3, 2, 5, 4, 7, 6, 9, 8, 11, 10, 13, 12, 15, 14};
+  const v16si m2 = {2, 3, 0, 1, 6, 7, 4, 5, 10, 11, 8, 9, 14, 15, 12, 13};
+  v16sf r = __builtin_shuffle(t0v, m1);
+  t0v = (t0v > r) ? t0v : r;
+  r = __builtin_shuffle(t0v, m2);
+  t0v = (t0v > r) ? t0v : r;
+  r = __builtin_shuffle(t1v, m1);
+  t1v = (t1v < r) ? t1v : r;
+  r = __builtin_shuffle(t1v, m2);
+  t1v = (t1v < r) ? t1v : r;
+  para |= __builtin_shuffle(para, m1);
+  para |= __builtin_shuffle(para, m2);
+  for (int i = 0; i < 4; ++i) {
+    const float t0 = t0v[4 * i];
+    const float t1 = t1v[4 * i];
+    if (!para[4 * i] && t1 > t0) {
+      const float sxi = sx[4 * i], syi = sy[4 * i];
+      const float dexi = dex[4 * i], deyi = dey[4 * i];
+      const float p0x = sxi + t0 * dexi, p0y = syi + t0 * deyi;
+      const float p1x = sxi + t1 * dexi, p1y = syi + t1 * deyi;
+      total += cross2(p0x, p0y, p1x, p1y);
+    }
+  }
+#else
   for (int i = 0; i < 4; ++i) {
     const int i1 = (i + 1) & 3;
     const float sx = A.x[i], sy = A.y[i];
@@ -74,12 +179,14 @@ inline float boundary_integral_f32(const QuadF& A, const QuadF& B,
       total += cross2(p0x, p0y, p1x, p1y);
     }
   }
+#endif
   return total;
 }
 
-// geometry.rotated_intersection: too_far pairs are exactly 0; the pair is
-// recentred around the midpoint of the two centers before clipping.
-inline float rotated_intersection_f32(const float* a, const float* b) {
+// geometry.rotated_intersection with the per-box rotation offsets already
+// computed (the hot-loop form: no trig per pair).
+inline float rotated_intersection_pre_f32(const float* a, const QuadRot& ar,
+                                          const float* b, const QuadRot& br) {
   const float hwa = a[3] * a[4] * 0.5f, hha = a[4] * 0.5f;
   const float hwb = b[3] * b[4] * 0.5f, hhb = b[4] * 0.5f;
   const float ra = std::sqrt(hwa * hwa + hha * hha);
@@ -88,26 +195,41 @@ inline float rotated_intersection_f32(const float* a, const float* b) {
   const float md = ra + rb;
   if (ddx * ddx + ddy * ddy > md * md) return 0.0f;
   const float mx = 0.5f * (a[0] + b[0]), my = 0.5f * (a[1] + b[1]);
-  const float ac[5] = {a[0] - mx, a[1] - my, a[2], a[3], a[4]};
-  const float bc[5] = {b[0] - mx, b[1] - my, b[2], b[3], b[4]};
   QuadF qa, qb;
-  box_vertices_f32(ac, qa);
-  box_vertices_f32(bc, qb);
+  quad_from_rot(a[0] - mx, a[1] - my, ar, qa);
+  quad_from_rot(b[0] - mx, b[1] - my, br, qb);
   const float s = boundary_integral_f32(qa, qb, false) +
                   boundary_integral_f32(qb, qa, true);
   return std::abs(s) * 0.5f;
 }
 
+// geometry.rotated_intersection: too_far pairs are exactly 0; the pair is
+// recentred around the midpoint of the two centers before clipping.
+inline float rotated_intersection_f32(const float* a, const float* b) {
+  QuadRot ar, br;
+  box_rot_f32(a, ar);
+  box_rot_f32(b, br);
+  return rotated_intersection_pre_f32(a, ar, b, br);
+}
+
 // universal_iou semantics (`bbox.rs:512-535`): returns IoU, 0 when the
 // intersection is empty (the caller treats 0 as "no edge").
-inline float rotated_iou_f32(const float* a, const float* b) {
-  const float inter = rotated_intersection_f32(a, b);
+inline float rotated_iou_pre_f32(const float* a, const QuadRot& ar,
+                                 const float* b, const QuadRot& br) {
+  const float inter = rotated_intersection_pre_f32(a, ar, b, br);
   if (!(inter > 0.0f)) return 0.0f;
   const float uni = a[3] * a[4] * a[4] + b[3] * b[4] * b[4] - inter;
   // uni > 0 guards degenerate zero-area boxes (geometry.universal_iou
   // parity: float roundoff can leave inter marginally above a ~0 union)
   if (!(uni > 0.0f)) return 0.0f;
   return inter / uni;
+}
+
+inline float rotated_iou_f32(const float* a, const float* b) {
+  QuadRot ar, br;
+  box_rot_f32(a, ar);
+  box_rot_f32(b, br);
+  return rotated_iou_pre_f32(a, ar, b, br);
 }
 
 }  // namespace similari_clip

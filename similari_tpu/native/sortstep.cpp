@@ -125,6 +125,20 @@ int sort_step_host(
   std::vector<float> e_w;
   std::vector<int32_t> e_off(D + 1, 0);
 
+  // oriented IoU: per-box rotation offsets hoisted out of the pair loop
+  // (the cos/sin pair dominated the clip cost; bit-exact, clip.h)
+  std::vector<similari_clip::QuadRot> det_rot, trk_rot;
+  if (method == 0 && oriented) {
+    det_rot.resize(D);
+    trk_rot.resize(C);
+    for (int i = 0; i < D; ++i)
+      similari_clip::box_rot_f32(det_box + static_cast<size_t>(i) * 5,
+                                 det_rot[i]);
+    for (int c = 0; c < C; ++c)
+      similari_clip::box_rot_f32(
+          pred_box + static_cast<size_t>(cols[c]) * 5, trk_rot[c]);
+  }
+
   auto pair_weight = [&](int i, int c) -> float {
     const float* a = det_box + static_cast<size_t>(i) * 5;
     const int t = cols[c];
@@ -146,7 +160,8 @@ int sort_step_host(
       if (!(d2r <= allowed)) return 0.0f;
     }
     if (method == 0 && oriented) {  // rotated IoU (geometry.py op order)
-      const float iou = similari_clip::rotated_iou_f32(a, b);
+      const float iou = similari_clip::rotated_iou_pre_f32(
+          a, det_rot[i], b, trk_rot[c]);
       if (!(iou > 0.0f)) return 0.0f;
       const float m = iou * cf;
       return (m >= iou_threshold) ? m : 0.0f;

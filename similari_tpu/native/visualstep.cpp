@@ -165,6 +165,19 @@ int visual_step_host(
   }
 
   // ---- positional weights P[D,C] (0 = no edge) ------------------------
+  // oriented IoU: per-box rotation offsets hoisted out of the pair loop
+  // (no trig per pair; bit-exact, clip.h)
+  std::vector<similari_clip::QuadRot> det_rot, trk_rot;
+  if (!maha && oriented) {
+    det_rot.resize(D);
+    trk_rot.resize(C);
+    for (int i = 0; i < D; ++i)
+      similari_clip::box_rot_f32(det_box + static_cast<size_t>(i) * 5,
+                                 det_rot[i]);
+    for (int c = 0; c < C; ++c)
+      similari_clip::box_rot_f32(
+          pred_box + static_cast<size_t>(cols[c]) * 5, trk_rot[c]);
+  }
   std::vector<float> P(static_cast<size_t>(D) * C, 0.0f);
   for (int i = 0; i < D; ++i) {
     const float* a = det_box + static_cast<size_t>(i) * 5;
@@ -175,7 +188,8 @@ int visual_step_host(
       const float* b = pred_box + static_cast<size_t>(t) * 5;
       float w = 0.0f;
       if (!maha && oriented) {
-        const float iou = similari_clip::rotated_iou_f32(a, b);
+        const float iou = similari_clip::rotated_iou_pre_f32(
+            a, det_rot[i], b, trk_rot[c]);
         if (!(iou > 0.0f)) continue;
         const float m = iou * cf;
         if (m < iou_thr) continue;

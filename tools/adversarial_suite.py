@@ -54,6 +54,7 @@ SORT_AXES = ("host", "device_jv", "auction", "auction_norecycle")
 
 REID_AXES = {
     "reid_crossing": ("vhost", "vdevice_jv", "vauction", "vbf16", "vpallas"),
+    "reid_confusable": ("vhost", "vauction", "vbf16", "vpallas"),
     "reid_gaps": ("vhost", "vauction", "vbf16", "vpallas"),
     "reid_oriented": ("vhost", "vauction", "vbf16"),
     "reid_ownarea": ("vhost_oa", "vdevice_oa_host", "vdevice_oa_dev"),

@@ -284,12 +284,105 @@ def main():
         blob = json.load(open(adv[-1]))
         body = (
             blob["table_md"]
-            + f"\n\nWorst |delta| across non-host axes: "
+            + f"\n\nWorst |delta| across non-baseline axes: "
             f"**{blob['worst_abs_delta_pt']} pt** (parity bar "
             f"{blob['parity_bar_pt']} pt; seeds {blob['seeds']}; from "
             f"`{Path(adv[-1]).name}`, tools/adversarial_suite.py)\n"
         )
         replace_block(ROOT / "PARITY.md", "adversarial", body)
+
+    # ---- ARCHITECTURE §4 speed-of-light table ----------------------------
+    # (round-5 VERDICT item 2: the hand-maintained copy drifted; every row
+    # now comes from the same canonical artifact as README/PARITY)
+    SOL = [
+        ("sort_iou_10", "SORT IoU 10 obj", "per-step dispatch floor"),
+        ("sort_iou_100", "SORT IoU 100 obj",
+         "auction rounds + per-step overhead"),
+        ("sort_iou_100_pallas", "SORT IoU 100 obj, fused Pallas",
+         "VMEM-resident whole step (§5)"),
+        ("sort_maha_100", "SORT Maha 100", "same as IoU"),
+        ("sort_iou_oriented_100", "SORT IoU oriented 100",
+         "Green's-theorem clip (§3)"),
+        ("sort_maha_oriented_100", "SORT Maha oriented 100",
+         "(clip only gates, never scores)"),
+        ("sort_iou_500", "SORT IoU 500 obj", "auction on [500, 2500]"),
+        ("sort_iou_oriented_500", "SORT IoU oriented 500",
+         "x-sorted block-skip clip (§4d, round 4)"),
+        ("batch_sort_1024x100", "Batch SORT 1024x100",
+         "merge + glue (§4c)"),
+        ("visual_sort_100x128", "VisualSORT 100x128-d",
+         "cascade + per-step floor"),
+        ("visual_sort_100x512", "VisualSORT 100x512-d", "same"),
+        ("visual_sort_100x512_pallas", "VisualSORT 100x512-d fused Pallas",
+         "VMEM-resident whole step (§5)"),
+        ("visual_sort_100x2048", "VisualSORT 100x2048-d",
+         "gallery matmul starts to bite"),
+        ("batch_visual_256x100x512", "Batch VisualSORT 256x100x512-d (bf16)",
+         "see §4c breakdown"),
+        ("batch_visual_1024x100x512", "Batch VisualSORT 1024x100x512-d",
+         "HBM locality past the knee (§4c)"),
+        ("nms_100", "NMS 100 boxes", "fixpoint rounds; aligned kernel"),
+        ("nms_500", "NMS 500 boxes", "fixpoint rounds; aligned kernel"),
+        ("nms_1000", "NMS 1000 boxes", "fixpoint rounds; aligned kernel"),
+        ("nms_10", "NMS 10 boxes (host engine)", "native scalar loop (§4b)"),
+        ("nms_oriented_100", "NMS oriented 100", "clip at N²"),
+        ("nms_oriented_500", "NMS oriented 500",
+         "clip at N²; block-skip ≥512 boxes (§4d)"),
+        ("nms_oriented_1000", "NMS oriented 1000",
+         "clip at N²; block-skip ≥512 boxes (§4d)"),
+    ]
+    sol_special_refs = {
+        "sort_iou_100_pallas": 561, "batch_sort_1024x100": 618,
+        "batch_visual_256x100x512": 173, "batch_visual_1024x100x512": 173,
+        "visual_sort_100x512_pallas": 173,
+    }
+    lines = ["| Workload | Throughput | vs ref | Bound by |",
+             "|---|---|---|---|"]
+    for key, label, bound in SOL:
+        v = extra.get(f"{key}_fps")
+        if v is None:
+            continue
+        ref = sol_special_refs.get(key) or REF[key][1]
+        unit = ("scene-frames/s" if key.startswith("batch") else
+                "frames/s" if key.startswith("nms") else "FPS")
+        lines.append(f"| {label} | {fmt(v)} {unit} | x{v / ref:.0f} | "
+                     f"{bound} |")
+    body = "\n".join(lines) + (
+        f"\n\n(from `{src}`; batch rows are per-chip scene-frames/s against "
+        "the reference's single-stream FPS)\n")
+    replace_block(ROOT / "ARCHITECTURE.md", "sol", body)
+
+    # ---- ARCHITECTURE §4b interactive SORT table -------------------------
+    ABEWLEY = {10: 1.59, 100: 11.98, 200: 25.16, 300: 40.92, 500: 74.25,
+               1000: 162.0}
+    lines = [
+        "| Objects | similari_tpu host engine | reference (i5-7440HQ) | x |"
+        " abewley/sort |",
+        "|---|---|---|---|---|",
+    ]
+    for n in (10, 100, 200, 300, 500, 1000):
+        k = f"sort_{n}_ms"
+        if k not in it:
+            continue
+        ref_ms = inter["reference_ms"][str(n)]
+        lines.append(
+            f"| {n} | **{it[k]} ms** | {ref_ms} ms | x{ref_ms / it[k]:.0f} |"
+            f" {ABEWLEY[n]} ms |")
+    body = "\n".join(lines) + (
+        f"\n\n(from `{Path(inter_path).name}`"
+        + (f" + `{src}` interactive keys" if driver_inter else "") + ")\n")
+    replace_block(ROOT / "ARCHITECTURE.md", "interactive-sort", body)
+
+    # ---- decision margins (why the adversarial deltas are 0.00) ----------
+    mar = sorted(glob.glob(str(ROOT / "MARGINS_r*.json")))
+    if mar:
+        blob = json.load(open(mar[-1]))
+        body = (
+            blob["table_md"]
+            + f"\n\n{blob['note']} (from `{Path(mar[-1]).name}`, "
+            f"tools/decision_margins.py)\n"
+        )
+        replace_block(ROOT / "PARITY.md", "margins", body)
 
 
 if __name__ == "__main__":
