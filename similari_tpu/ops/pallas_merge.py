@@ -33,28 +33,38 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _merge_kernel(row_ref, valid_ref, src_ref, state_ref, out_ref, sems):
-    d_count = src_ref.shape[0]
+def _merge_kernel(row_ref, valid_ref, src_ref, out_ref, f, d_count, sems):
+    """src/out refs are flattened per scene: (1, D*F) and (1, R*F).
+
+    Mosaic refuses 1-row dynamic slices of a [R, F] memref (sublane
+    tiling), but LAST-dim slices at 128-element-aligned offsets are fine —
+    so rows are addressed as (1, F) windows of the flattened scene row.
+    """
+
+    def dma(d):
+        s0 = pl.multiple_of(d * f, 128)
+        s1 = pl.multiple_of(row_ref[0, d] * f, 128)
+        return pltpu.make_async_copy(
+            src_ref.at[:, pl.ds(s0, f)],
+            out_ref.at[:, pl.ds(s1, f)],
+            sems.at[d],
+        )
 
     def start(d, _):
         @pl.when(valid_ref[0, d] != 0)
         def _():
-            pltpu.make_async_copy(
-                src_ref.at[d], out_ref.at[row_ref[0, d]], sems.at[d]
-            ).start()
+            dma(d).start()
         return 0
 
-    jax.lax.fori_loop(0, d_count, start, 0, unroll=True)
+    jax.lax.fori_loop(0, d_count, start, 0)
 
     def wait(d, _):
         @pl.when(valid_ref[0, d] != 0)
         def _():
-            pltpu.make_async_copy(
-                src_ref.at[d], out_ref.at[row_ref[0, d]], sems.at[d]
-            ).wait()
+            dma(d).wait()
         return 0
 
-    jax.lax.fori_loop(0, d_count, wait, 0, unroll=True)
+    jax.lax.fori_loop(0, d_count, wait, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",), donate_argnums=0)
@@ -67,32 +77,63 @@ def lane_merge_inplace(state, src, row, valid, *, interpret=False):
     s, r, f = state.shape
     d = src.shape[1]
     assert src.dtype == state.dtype, (src.dtype, state.dtype)
+    # sub-32-bit dtypes ride as int32 words (bf16 tiling pads a size-1
+    # sublane dim to 2, which outlaws the (1, N) flattened-scene view; an
+    # int32 bitcast packs the pairs and keeps every offset lane-aligned)
+    orig_dtype = state.dtype
+    if state.dtype == jnp.bfloat16:
+        assert f % 2 == 0
+        state = jax.lax.bitcast_convert_type(
+            state.reshape(s, r, f // 2, 2), jnp.int32)
+        src = jax.lax.bitcast_convert_type(
+            src.reshape(s, d, f // 2, 2), jnp.int32)
+        f = f // 2
+    elif state.dtype != jnp.int32:
+        state = jax.lax.bitcast_convert_type(state, jnp.int32)
+        src = jax.lax.bitcast_convert_type(src, jnp.int32)
+    assert f % 128 == 0, f"feature dim {f} must be lane-aligned (128)"
+    # Scenes flattened to ONE long row each ([S, 1, R*F]): Mosaic refuses
+    # 1-row dynamic slices of a tiled [R, F] memref, but last-dim windows
+    # at 128-aligned offsets are legal in any memory space.  SMEM blocks
+    # must match the array's trailing dims exactly, so the per-scene index
+    # rows ride as [S, 1, D] with block (1, 1, D).
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=0,
         grid=(s,),
         in_specs=[
-            pl.BlockSpec((1, d), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),  # row
-            pl.BlockSpec((1, d), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, d), lambda i: (i, 0, 0),
                          memory_space=pltpu.SMEM),  # valid
-            pl.BlockSpec((1, d, f), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),  # src (per-scene block)
-            pl.BlockSpec(memory_space=pltpu.ANY),  # state stays in HBM
+            # src stays in HBM like the state (HBM->HBM row DMAs never
+            # stage the payload through VMEM at all)
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # state: aliased output
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[pltpu.SemaphoreType.DMA((d,))],
     )
 
     def kernel(row_ref, valid_ref, src_ref, state_ref, out_ref, sems):
-        # src block is (1, D, F); drop the leading scene axis
-        _merge_kernel(row_ref, valid_ref, src_ref.at[0], state_ref,
-                      out_ref.at[pl.program_id(0)], sems)
+        # row/valid blocks are (1, 1, D); src/state are the full arrays
+        i = pl.program_id(0)
+        _merge_kernel(row_ref.at[0], valid_ref.at[0], src_ref.at[i],
+                      out_ref.at[i], f, d, sems)
 
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((s, r, f), state.dtype),
+        out_shape=jax.ShapeDtypeStruct((s, 1, r * f), jnp.int32),
         input_output_aliases={3: 0},
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(row.astype(jnp.int32), valid.astype(jnp.int32), src, state)
+    )(row.astype(jnp.int32).reshape(s, 1, d),
+      valid.astype(jnp.int32).reshape(s, 1, d),
+      src.reshape(s, 1, d * f), state.reshape(s, 1, r * f))
+    out = out.reshape(s, r, f)
+    if orig_dtype == jnp.bfloat16:
+        return jax.lax.bitcast_convert_type(
+            out, jnp.bfloat16).reshape(s, r, 2 * f)
+    if orig_dtype != jnp.int32:
+        return jax.lax.bitcast_convert_type(out, orig_dtype)
+    return out

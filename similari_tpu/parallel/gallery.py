@@ -58,6 +58,31 @@ def _local_topk_scores(
     return top_scores, scene_idx, tids
 
 
+def local_gallery_query(cfg_kind: str, k: int, mesh: Mesh):
+    """Per-shard gallery scoring WITHOUT the cross-shard merge.
+
+    Same scoring + local top-k as `global_gallery_query`, but each shard
+    keeps its own candidate set (outputs concatenated over the shard
+    axis: scores[n*Q, k], scene[n*Q, k], track[n*Q, k]).  Used by
+    `tools/profile_gallery.py` to separate the scoring cost from the
+    all_gather+merge cost (round-5 VERDICT item 5), and useful on its own
+    when the caller only needs shard-local matches.
+    """
+    axes = tuple(mesh.axis_names)
+
+    def local(state, queries):
+        return _local_topk_scores(state, queries, k, cfg_kind)
+
+    mapped = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(axes), P()),
+        out_specs=(P(axes), P(axes), P(axes)),
+        check_vma=False,
+    )
+    return jax.jit(mapped)
+
+
 def global_gallery_query(cfg_kind: str, k: int, mesh: Mesh):
     """Build the jitted cross-shard query.
 

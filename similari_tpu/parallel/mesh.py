@@ -252,6 +252,40 @@ def batched_visual_step(cfg: VisualConfig):
     return jax.vmap(partial(visual_step, cfg))
 
 
+def batched_visual_step_inplace(cfg: VisualConfig, interpret: bool = False):
+    """Batched step with the big feature merges done IN PLACE.
+
+    The per-scene step defers its gallery-lane and history-ring feature
+    writes (`visual_step_deferred`); this wrapper applies them across all
+    scenes with ONE Pallas row-DMA kernel each (`ops/pallas_merge.py`):
+    the [S,T,K,F]/[S,T,H,F] arrays stay in HBM, aliased input->output,
+    and only the D touched rows per scene move — instead of the XLA
+    one-hot merge's full-array read+rewrite (~28% of the step,
+    ARCHITECTURE §4c).  Id-exact with `batched_visual_step`
+    (tests/test_pallas_merge.py).
+    """
+    import dataclasses as _dc
+
+    from ..ops.pallas_merge import lane_merge_inplace
+    from ..trackers.visual_step import visual_step_deferred
+
+    vstep = jax.vmap(partial(visual_step_deferred, cfg))
+
+    def step(states, *args):
+        states, out, (src, rowf, maskf, rowh, maskh) = vstep(states, *args)
+        s, t, k, f = states.feats.shape
+        h = states.hist_feat.shape[2]
+        feats = lane_merge_inplace(
+            states.feats.reshape(s, t * k, f), src, rowf, maskf,
+            interpret=interpret).reshape(s, t, k, f)
+        hist = lane_merge_inplace(
+            states.hist_feat.reshape(s, t * h, f), src, rowh, maskh,
+            interpret=interpret).reshape(s, t, h, f)
+        return _dc.replace(states, feats=feats, hist_feat=hist), out
+
+    return step
+
+
 def batched_visual_step_chunked(cfg: VisualConfig, chunk: int):
     """Scene-chunked batched VisualSORT step (see _chunk_scenes)."""
     return _chunk_scenes(batched_visual_step(cfg), chunk)

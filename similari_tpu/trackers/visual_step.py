@@ -195,6 +195,40 @@ def visual_step(
     det_own_area: jax.Array,  # [D] (1.0 when own-area gating is off)
     epoch: jax.Array,  # scalar int32
 ) -> Tuple[VisualState, VisualStepOutput]:
+    new_state, out, _ = _visual_step_impl(
+        cfg, False, state, det_box, det_conf, det_valid, det_feat,
+        det_feat_valid, det_quality, det_own_area, epoch)
+    return new_state, out
+
+
+def visual_step_deferred(cfg, state, *args):
+    """visual_step with the two BIG feature-array merges (gallery lanes +
+    history ring) returned as operands instead of applied.
+
+    The batched engine applies them across all scenes at once with the
+    in-place Pallas row-DMA kernel (`ops/pallas_merge.py`) — the XLA
+    one-hot form reads and rewrites the entire [S,T,K,F]/[S,T,H,F] arrays
+    to change D rows/scene, ~28% of the batched step (ARCHITECTURE §4c).
+    Returns (state, out, fmerge) where fmerge = (src[D,F] state-dtype,
+    rowf[D], maskf[D], rowh[D], maskh[D]); rows are flattened into
+    [T*K] / [T*H].
+    """
+    return _visual_step_impl(cfg, True, state, *args)
+
+
+def _visual_step_impl(
+    cfg: VisualConfig,
+    defer_feature_merge: bool,
+    state: VisualState,
+    det_box: jax.Array,
+    det_conf: jax.Array,
+    det_valid: jax.Array,
+    det_feat: jax.Array,
+    det_feat_valid: jax.Array,
+    det_quality: jax.Array,
+    det_own_area: jax.Array,
+    epoch: jax.Array,
+):
     d = det_box.shape[0]
     t = state.capacity
     k = state.gallery_size
@@ -326,6 +360,22 @@ def visual_step(
     hit_f = hit & keep_new[None, :]
     written = jnp.any(hit, axis=1)
 
+    if defer_feature_merge:
+        feats = state.feats
+        hist_feat = state.hist_feat
+        slot_i = jnp.clip(slot, 0, t - 1).astype(jnp.int32)
+        fmerge = (
+            det_feat.astype(state.feats.dtype),
+            slot_i * k + free_k.astype(jnp.int32),  # gallery lane row
+            (safe & keep_new).astype(jnp.int32),
+            slot_i * h + hix.astype(jnp.int32),  # history ring row
+            safe.astype(jnp.int32),
+        )
+    else:
+        feats = mrg.merge_lane(state.feats, det_feat, free_k, hit_f)
+        hist_feat = mrg.merge_ring(state.hist_feat, det_feat, hix, hit)
+        fmerge = None
+
     new_state = VisualState(
         kf=mrg.merge_tree(state.kf, st, hit),
         pred_box=mrg.merge_rows(state.pred_box, pred_box, hit),
@@ -339,12 +389,12 @@ def visual_step(
         hist_pred=mrg.merge_ring(state.hist_pred, pred_box, hix, hit),
         hist_conf=mrg.merge_ring(state.hist_conf, det_conf, hix, hit),
         next_id=(state.next_id + n_new).astype(jnp.int32),
-        feats=mrg.merge_lane(state.feats, det_feat, free_k, hit_f),
+        feats=feats,
         feat_quality=mrg.merge_rows(state.feat_quality, final_q, hit),
         feat_valid=mrg.merge_rows(state.feat_valid, final_valid, hit),
         collected=mrg.merge_rows(state.collected, collected, hit),
         voting_type=mrg.merge_rows(state.voting_type, vt, hit),
-        hist_feat=mrg.merge_ring(state.hist_feat, det_feat, hix, hit),
+        hist_feat=hist_feat,
         hist_feat_valid=mrg.merge_ring(
             state.hist_feat_valid, det_feat_valid, hix, hit
         ),
@@ -358,7 +408,7 @@ def visual_step(
         voting_type=vt,
         overflow=overflow,
     )
-    return new_state, out
+    return new_state, out, fmerge
 
 
 @lru_cache(maxsize=None)

@@ -20,6 +20,7 @@ Run on the dev TPU: python tools/experiment_batch_merge.py
 
 import sys
 import time
+from functools import partial
 from pathlib import Path
 
 import numpy as np
@@ -88,19 +89,31 @@ def main():
         out = out.reshape(S, T, K, F)
         return out, out[0, 0, 0, 0]
 
+    import argparse
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--variants", nargs="*",
+                    default=["onehot", "scatter", "pallas"])
+    args = ap.parse_args()
+
     results = {}
-    for name, body in (("onehot", onehot_body), ("scatter", scatter_body),
-                       ("pallas", pallas_body)):
-        @jax.jit
-        def scan_fn(feats, body=body):
-            return jax.lax.scan(body, feats, (slot_j, lane_j, valid_j, src))
+    all_bodies = {"onehot": onehot_body, "scatter": scatter_body,
+                  "pallas": pallas_body}
+    for name in args.variants:
+        body = all_bodies[name]
+        log(f"compiling {name}...")
+        # streams ride as ARGUMENTS: closure constants get inlined into
+        # the HLO as literals and the 134 MB src stream blows the tunnel
+        # remote-compile payload limit (HTTP 413)
+        @partial(jax.jit, donate_argnums=0)
+        def scan_fn(feats, sl, ln, va, sr, body=body):
+            return jax.lax.scan(body, feats, (sl, ln, va, sr))
 
         def run(k):
             feats = feats0 + 0  # fresh donatable buffer
             t0 = time.perf_counter()
             out = None
             for _ in range(k):
-                feats, out = scan_fn(feats)
+                feats, out = scan_fn(feats, slot_j, lane_j, valid_j, src)
             np.asarray(out[-1])  # true sync
             return time.perf_counter() - t0
 
