@@ -196,8 +196,14 @@ def measure_gallery_query(mesh, n_dev, scenes, objects, feat_dim,
         np.asarray(out[0][0, 0])  # true sync
         return time.perf_counter() - t0
 
-    # base_len=1: run(k) is k chained query calls of one compiled program
-    per_call = per_step_time(run, 1, k_big=64, max_k=16384)
+    # base_len=1: run(k) is k chained query calls of one compiled program.
+    # On the heavily time-shared virtual CPU mesh, long chained queues can
+    # starve a device thread past XLA:CPU's 40 s all-gather rendezvous
+    # watchdog (hard abort) — keep chains short there (ARCHITECTURE §8).
+    if jax.default_backend() == "cpu" and n_dev >= 8:
+        per_call = per_step_time(run, 1, k_big=4, max_k=16)
+    else:
+        per_call = per_step_time(run, 1, k_big=64, max_k=16384)
     return queries / per_call
 
 
@@ -266,18 +272,30 @@ def main():
     trackers = (["sort", "visual"] if args.tracker == "both"
                 else [args.tracker])
     if args.tracker == "gallery":
+        import statistics as _st
+
         base = None
         for n_dev in counts:
             mesh = scene_mesh(n_dev)
             scenes = args.scenes_per_device * n_dev
-            qps = measure_gallery_query(mesh, n_dev, scenes, args.objects,
-                                        args.feat_dim, base_len)
+            # same median+spread treatment as the tracker rows (round-5
+            # VERDICT item 5)
+            samples = [
+                measure_gallery_query(mesh, n_dev, scenes, args.objects,
+                                      args.feat_dim, base_len)
+                for _ in range(args.point_reps)
+            ]
+            qps = _st.median(samples)
             if base is None:
                 base = qps
             rows[f"gallery_n{n_dev}_qps"] = round(qps, 2)
+            if len(samples) > 1:
+                rows[f"gallery_n{n_dev}_qps_spread"] = [
+                    round(min(samples), 2), round(max(samples), 2)]
             log(f"gallery n={n_dev:<3d} {qps:12.1f} queries/s over "
                 f"{scenes * 2 * args.objects * 3} gallery lanes  "
-                f"(x{qps / base:.2f} vs n=1 while the corpus grew x{n_dev})")
+                f"(x{qps / base:.2f} vs n=1 while the corpus grew x{n_dev};"
+                f" spread [{min(samples):.0f}, {max(samples):.0f}])")
         trackers = []
     import statistics as _stats
 

@@ -38,7 +38,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def _measure(qfn, states, qs, per_step_time):
+def _measure(qfn, states, qs, per_step_time, k_big=64, max_k=16384):
     def run(n):
         t0 = time.perf_counter()
         out = None
@@ -47,7 +47,7 @@ def _measure(qfn, states, qs, per_step_time):
         np.asarray(out[0].ravel()[0])  # true sync
         return time.perf_counter() - t0
 
-    return per_step_time(run, 1, k_big=64, max_k=16384)
+    return per_step_time(run, 1, k_big=k_big, max_k=max_k)
 
 
 def main():
@@ -59,6 +59,8 @@ def main():
     ap.add_argument("--queries", type=int, default=128)
     ap.add_argument("--topk", type=int, default=8)
     ap.add_argument("--point-reps", type=int, default=3)
+    ap.add_argument("--counts", type=int, nargs="*", default=None,
+                    help="mesh sizes to run (default: 1,2,4,..,devices)")
     ap.add_argument("--out", default="GALLERY_PROFILE_r05.json")
     args = ap.parse_args()
 
@@ -87,11 +89,13 @@ def main():
     )
 
     n_avail = len(jax.devices())
-    counts = []
-    n = 1
-    while n <= min(args.devices, n_avail):
-        counts.append(n)
-        n *= 2
+    counts = args.counts
+    if not counts:
+        counts = []
+        n = 1
+        while n <= min(args.devices, n_avail):
+            counts.append(n)
+            n *= 2
 
     rng = np.random.default_rng(1)
     rows = {}
@@ -117,10 +121,15 @@ def main():
         gq = global_gallery_query("cosine", args.topk, mesh)
         lq = local_gallery_query("cosine", args.topk, mesh)
 
+        # heavily time-shared big meshes: long chained-call queues can
+        # starve one of the n device threads past XLA:CPU's 40 s
+        # all-gather rendezvous watchdog (a hard abort) — keep the
+        # chains short there and accept the extra noise
+        kb, mk = (64, 16384) if n_dev <= 4 else (4, 16)
         full, loc = [], []
         for _ in range(args.point_reps):
-            full.append(_measure(gq, states, qs, per_step_time))
-            loc.append(_measure(lq, states, qs, per_step_time))
+            full.append(_measure(gq, states, qs, per_step_time, kb, mk))
+            loc.append(_measure(lq, states, qs, per_step_time, kb, mk))
         f_med = statistics.median(full)
         l_med = statistics.median(loc)
         gather_ms = (f_med - l_med) * 1e3
