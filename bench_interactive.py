@@ -19,6 +19,7 @@ Output: table on stderr, one JSON line on stdout.
 """
 
 import argparse
+import gc
 import json
 import statistics
 import sys
@@ -200,6 +201,11 @@ def main():
         cand = make_cand()
         if use_arrays:
             db.foreign_track_distances_arrays(cand, 0, True)  # build index
+        # the setup loop above allocates `count` track object graphs; pay its
+        # generational-GC debt BEFORE the timed region, or a collection pause
+        # (measured 35-130 ms spikes) lands inside a timed call and the
+        # median reports setup garbage, not query latency
+        gc.collect()
         times = []
         for _ in range(reps):
             t0 = time.perf_counter()
@@ -213,7 +219,7 @@ def main():
 
     for vec_len, count in ((128, 1000), (128, 10000), (512, 1000),
                            (512, 10000)):
-        ms_rec = store_query_ms(vec_len, count, reps=8 if count >= 10000
+        ms_rec = store_query_ms(vec_len, count, reps=15 if count >= 10000
                                 else 20)
         ms_arr = store_query_ms(vec_len, count, use_arrays=True)
         rows[f"store_search_{vec_len}_{count}_ms"] = round(ms_rec, 3)

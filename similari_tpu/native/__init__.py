@@ -118,6 +118,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.kf_box_sequence.argtypes = [
         F, ctypes.c_int, ctypes.c_float, ctypes.c_float, F]
     lib.kf_box_sequence.restype = ctypes.c_int
+    lib.rotated_iou_pairs.argtypes = [F, F, ctypes.c_int, F]
+    lib.rotated_iou_pairs.restype = ctypes.c_int
     lib.nms_host.argtypes = [F, ctypes.c_int, ctypes.c_float, ctypes.c_int, U8]
     lib.nms_host.restype = ctypes.c_int
     lib.nms_host_batch.argtypes = [
@@ -371,6 +373,30 @@ def kf_box_sequence(z: np.ndarray, position_weight: float,
         float(velocity_weight), out.ctypes.data_as(F))
     if rc:
         raise RuntimeError(f"kf_box_sequence failed: {rc}")
+    return out
+
+
+def rotated_iou_pairs(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Rotated IoU of a[i] vs b[i] over paired box rows [n, 5].
+
+    Test/debug surface for the native f32 clip (native/clip.h): asserts the
+    clip's float output to the ulp against the NumPy oracle
+    (`trackers/host_geometry.py`) and across clip.h refactors.  Returns
+    None when the native library is unavailable.
+    """
+    lib = _get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, np.float32)
+    b = np.ascontiguousarray(b, np.float32)
+    assert a.shape == b.shape and a.ndim == 2 and a.shape[1] == 5
+    out = np.empty((a.shape[0],), np.float32)
+    F = ctypes.POINTER(ctypes.c_float)
+    rc = lib.rotated_iou_pairs(
+        a.ctypes.data_as(F), b.ctypes.data_as(F), a.shape[0],
+        out.ctypes.data_as(F))
+    if rc:
+        raise RuntimeError(f"rotated_iou_pairs failed: {rc}")
     return out
 
 

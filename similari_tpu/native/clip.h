@@ -17,6 +17,19 @@
 
 #include <cmath>
 
+// FP contraction OFF for every clip function: the collinear tie-break tests
+// `a == 0.0f` where a = dx*(sy-py) - dy*(sx-px).  Under -ffp-contract=fast
+// (the -O3 default) GCC fuses that into an FMA whose unrounded product
+// leaves a tiny residual exactly when the terms cancel — so IDENTICAL boxes
+// (pred == det after track birth, e.g. a static object with quantized
+// coords) failed the tie detection and scored IoU 0 (neither pass counts
+// the shared edges) or ~1/eps (both passes count; union cancels to ~0),
+// where the device kernel (ops/geometry.py) and the NumPy oracle
+// (trackers/host_geometry.py) — both separately-rounded — give exactly 1.
+// Locked by tests/test_native.py::test_rotated_iou_pairs_matches_numpy_oracle.
+#pragma GCC push_options
+#pragma GCC optimize("fp-contract=off")
+
 namespace similari_clip {
 
 struct QuadF {
@@ -30,6 +43,10 @@ struct QuadF {
 // recentred first or not (round-5 VERDICT item 7).
 struct QuadRot {
   float r1x, r1y, r2x, r2y;
+  // circumradius sqrt(hw^2 + hh^2): per-box constant, hoisted so the
+  // too_far early-out in rotated_intersection_pre_f32 pays zero sqrts per
+  // pair (bit-exact — the same f32 expression the per-pair form computed)
+  float rad;
 };
 
 inline void box_rot_f32(const float* b, QuadRot& r) {
@@ -39,6 +56,7 @@ inline void box_rot_f32(const float* b, QuadRot& r) {
   const float hh = b[4] * 0.5f;
   r.r1x = -hw * c - hh * s; r.r1y = -hw * s + hh * c;
   r.r2x = hw * c - hh * s;  r.r2y = hw * s + hh * c;
+  r.rad = std::sqrt(hw * hw + hh * hh);
 }
 
 inline void quad_from_rot(float cx, float cy, const QuadRot& r, QuadF& q) {
@@ -139,17 +157,18 @@ inline float boundary_integral_f32(const QuadF& A, const QuadF& B,
   t1v = (t1v < r) ? t1v : r;
   para |= __builtin_shuffle(para, m1);
   para |= __builtin_shuffle(para, m2);
-  for (int i = 0; i < 4; ++i) {
-    const float t0 = t0v[4 * i];
-    const float t1 = t1v[4 * i];
-    if (!para[4 * i] && t1 > t0) {
-      const float sxi = sx[4 * i], syi = sy[4 * i];
-      const float dexi = dex[4 * i], deyi = dey[4 * i];
-      const float p0x = sxi + t0 * dexi, p0y = syi + t0 * deyi;
-      const float p1x = sxi + t1 * dexi, p1y = syi + t1 * deyi;
-      total += cross2(p0x, p0y, p1x, p1y);
-    }
-  }
+  // branchless tail: the old 4-iteration scalar loop paid ~2 unpredictable
+  // branches per group (clip outcomes are data-dependent near-50/50 on
+  // overlapping pairs); compute every group's segment cross in-vector and
+  // mask, then add the 4 group lanes in the same order the loop did.
+  // Masked lanes can hold inf/NaN from the t = -a/b division — the select
+  // (not a multiply) keeps them out of the sum.
+  const v16sf p0x = sx + t0v * dex, p0y = sy + t0v * dey;
+  const v16sf p1x = sx + t1v * dex, p1y = sy + t1v * dey;
+  const v16sf crossv = p0x * p1y - p0y * p1x;
+  const v16si keep = ~para & (t1v > t0v);
+  const v16sf contrib = keep ? crossv : zero;
+  total = ((contrib[0] + contrib[4]) + contrib[8]) + contrib[12];
 #else
   for (int i = 0; i < 4; ++i) {
     const int i1 = (i + 1) & 3;
@@ -187,12 +206,8 @@ inline float boundary_integral_f32(const QuadF& A, const QuadF& B,
 // computed (the hot-loop form: no trig per pair).
 inline float rotated_intersection_pre_f32(const float* a, const QuadRot& ar,
                                           const float* b, const QuadRot& br) {
-  const float hwa = a[3] * a[4] * 0.5f, hha = a[4] * 0.5f;
-  const float hwb = b[3] * b[4] * 0.5f, hhb = b[4] * 0.5f;
-  const float ra = std::sqrt(hwa * hwa + hha * hha);
-  const float rb = std::sqrt(hwb * hwb + hhb * hhb);
   const float ddx = a[0] - b[0], ddy = a[1] - b[1];
-  const float md = ra + rb;
+  const float md = ar.rad + br.rad;
   if (ddx * ddx + ddy * ddy > md * md) return 0.0f;
   const float mx = 0.5f * (a[0] + b[0]), my = 0.5f * (a[1] + b[1]);
   QuadF qa, qb;
@@ -233,3 +248,5 @@ inline float rotated_iou_f32(const float* a, const float* b) {
 }
 
 }  // namespace similari_clip
+
+#pragma GCC pop_options

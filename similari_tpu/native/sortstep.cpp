@@ -54,6 +54,17 @@ struct DSU {
 
 extern "C" {
 
+// Pairwise rotated IoU over n (a, b) box rows — a test/debug export so the
+// clip's float behavior can be locked bitwise against the NumPy oracle
+// (trackers/host_geometry.py) and across refactors of clip.h, which the
+// id-level fuzz suites alone cannot pin down to the ulp.
+int rotated_iou_pairs(const float* a, const float* b, int n, float* out) {
+  for (int i = 0; i < n; ++i)
+    out[i] = similari_clip::rotated_iou_f32(a + static_cast<size_t>(i) * 5,
+                                            b + static_cast<size_t>(i) * 5);
+  return 0;
+}
+
 // Bulk Kalman smoothing: initiate from z[0], then predict+update per row
 // (the reference's `benches/kalman_bbox.rs:15-31` loop as ONE call — the
 // per-call Python object API pays ~18 us/step in interpreter overhead;

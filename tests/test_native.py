@@ -144,3 +144,45 @@ def test_numpy_mot_fallback_handles_six_column_files(tmp_path):
     assert valid[0].sum() == 2 and valid[1].sum() == 1
     np.testing.assert_allclose(conf[0, :2], [1.0, 1.0])
     np.testing.assert_allclose(box[0, 0, :2], [25.0, 40.0])  # xc, yc
+
+
+def test_rotated_iou_pairs_matches_numpy_oracle():
+    """The native f32 clip (clip.h) vs the NumPy transliteration of the
+    device kernel (trackers/host_geometry.py), at the ulp scale.
+
+    The id-level fuzz suites (test_host_sort.py) can't pin the clip's float
+    behavior; this locks it across clip.h refactors (the round-5 branchless
+    16-lane tail was verified bitwise-stable on 2M pairs with this surface).
+    Native uses FMA contraction, so up to a few ulp vs NumPy is expected —
+    the bound here is ~1e-7 absolute on IoU in [0, 1].
+    """
+    if not native.sort_step_available():
+        pytest.skip("native library unavailable")
+    from similari_tpu.trackers.host_geometry import rotated_iou_matrix_np
+
+    rng = np.random.default_rng(17)
+    n = 256
+
+    def boxes(k):
+        b = np.zeros((k, 5), np.float32)
+        b[:, 0] = rng.uniform(0, 100, k)
+        b[:, 1] = rng.uniform(0, 100, k)
+        b[:, 2] = rng.uniform(-np.pi, np.pi, k)
+        b[:, 3] = rng.uniform(0.2, 5.0, k)
+        b[:, 4] = rng.uniform(1, 60, k)
+        return b
+
+    a, b = boxes(n), boxes(n)
+    b[: n // 2, :2] = a[: n // 2, :2] + rng.uniform(
+        -20, 20, (n // 2, 2)).astype(np.float32)  # force real overlaps
+    a[:8, 4] = 0.0       # degenerate: zero height
+    b[8:16, 3] = 0.0     # degenerate: zero aspect
+    b[16:24] = a[16:24]  # identical boxes -> IoU exactly 1
+    out = native.rotated_iou_pairs(a, b)
+    iou_m, _ = rotated_iou_matrix_np(a, b)
+    diag = np.diag(iou_m).astype(np.float32)
+    # identical boxes: IoU 1 to within the integral's own roundoff (the
+    # oracle itself lands at 1 +- 1 ulp).  The pre-fix contraction bug gave
+    # exactly 0 or ~1/eps here, so a 1e-5 band is a sharp discriminator.
+    np.testing.assert_allclose(out[16:24], 1.0, atol=1e-5, rtol=0)
+    np.testing.assert_allclose(out, diag, atol=2e-6, rtol=0)
