@@ -133,7 +133,8 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         F, F, U8, I, I,  # feats, feat_quality, feat_valid, collected, vt
         F, F, F, F, U8,  # histories
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-        F, F, F, U8, F, F, ctypes.c_int, ctypes.c_int,  # detections
+        F, F, F, U8, F, F,  # detections
+        F, ctypes.c_int, ctypes.c_int, ctypes.c_int,  # dmat, dmat_cols, D, epoch
         I, I, U8, F, I, I, I,  # outputs
     ]
     lib.visual_step_host.restype = ctypes.c_int
@@ -451,6 +452,29 @@ def visual_step_available() -> bool:
     return lib is not None and hasattr(lib, "visual_step_host")
 
 
+# below this many madds the sgemm's gather+dispatch overhead loses to the
+# in-step row-dot loop (measured crossover ~1-2 MFLOP on the 2-core host)
+_DMAT_MIN_MADDS = 2_000_000
+
+
+def _visual_dmat(max_idle_epochs, state, det_feat, epoch):
+    """All-pairs gallery scoring as ONE BLAS sgemm over the ACTIVE columns.
+
+    Replicates visualstep.cpp's cols rule (active && epoch - last_epoch <=
+    max_idle, slot order) and returns (dmat[D, C*K] C-contig f32, C) — the
+    C step cross-checks C and falls back with an error on divergence.
+    Returns (None, -1) when the frame is too small for the sgemm to win.
+    """
+    mask = (state.active != 0) & (
+        (np.int32(epoch) - state.last_epoch) <= max_idle_epochs)
+    ncols = int(mask.sum())
+    k = state.gallery_size
+    if det_feat.shape[0] * ncols * k * state.feature_dim < _DMAT_MIN_MADDS:
+        return None, -1
+    flat = state.feats[mask].reshape(ncols * k, state.feature_dim)
+    return det_feat @ flat.T, ncols
+
+
 def visual_step_host(cfg, state, det_box, det_conf, det_feat, det_feat_valid,
                      det_quality, det_own_area, epoch: int):
     """Full VisualSORT epoch in one native call (visualstep.cpp).
@@ -509,6 +533,8 @@ def visual_step_host(cfg, state, det_box, det_conf, det_feat, det_feat_valid,
     o_len = np.empty((d,), np.int32)
     o_vt = np.empty((d,), np.int32)
     o_nid = np.empty((1,), np.int32)
+    dmat, dmat_cols = _visual_dmat(cfg.max_idle_epochs, state, det_feat,
+                                   epoch)
     rc = lib.visual_step_host(
         f(fcfg), ip(icfg), f(cons),
         f(state.kf.mean_pos), f(state.kf.mean_vel), f(state.kf.cpp),
@@ -523,7 +549,9 @@ def visual_step_host(cfg, state, det_box, det_conf, det_feat, det_feat_valid,
         state.capacity, state.history, state.gallery_size, state.feature_dim,
         int(state.next_id),
         f(det_box), f(det_conf), f(det_feat), u8(dfv), f(det_quality),
-        f(det_own_area), d, epoch,
+        f(det_own_area),
+        f(dmat) if dmat is not None else ctypes.cast(None, F),
+        dmat_cols, d, epoch,
         ip(o_slot), ip(o_id), u8(o_new), f(o_pred), ip(o_len), ip(o_vt),
         ip(o_nid),
     )
@@ -541,7 +569,8 @@ class VisualStepSession:
     (same pattern as SortStepSession: state pointers never move between
     calls; the caller rebuilds the session on grow/engine switch)."""
 
-    __slots__ = ("_lib", "_pre", "_keep", "_state", "_outbufs", "_outcap")
+    __slots__ = ("_lib", "_pre", "_keep", "_state", "_outbufs", "_outcap",
+                 "_max_idle")
 
     def __init__(self, cfg, state):
         self._lib = _get_lib()
@@ -584,6 +613,7 @@ class VisualStepSession:
             if cfg.constraints else np.zeros((0,), np.float32)
         self._keep = (fcfg, icfg, cons, state)
         self._state = state
+        self._max_idle = cfg.max_idle_epochs
         self._pre = (
             f(fcfg), ip(icfg), f(cons),
             f(state.kf.mean_pos), f(state.kf.mean_vel), f(state.kf.cpp),
@@ -627,12 +657,17 @@ class VisualStepSession:
         det_own_area = np.ascontiguousarray(det_own_area, np.float32)
         dfv = np.ascontiguousarray(det_feat_valid, np.uint8)
         o_slot, o_id, o_new, o_pred, o_len, o_vt, o_nid = self._outs(d)
+        # all-pairs gallery scoring as ONE BLAS sgemm (see _visual_dmat)
+        dmat, dmat_cols = _visual_dmat(self._max_idle, self._state,
+                                       det_feat, epoch)
         rc = self._lib.visual_step_host(
             *self._pre, next_id,
             det_box.ctypes.data_as(F), det_conf.ctypes.data_as(F),
             det_feat.ctypes.data_as(F), dfv.ctypes.data_as(U8),
             det_quality.ctypes.data_as(F), det_own_area.ctypes.data_as(F),
-            d, epoch,
+            dmat.ctypes.data_as(F) if dmat is not None
+            else ctypes.cast(None, F),
+            dmat_cols, d, epoch,
             o_slot.ctypes.data_as(I), o_id.ctypes.data_as(I),
             o_new.ctypes.data_as(U8), o_pred.ctypes.data_as(F),
             o_len.ctypes.data_as(I), o_vt.ctypes.data_as(I),

@@ -119,7 +119,16 @@ int visual_step_host(
     // --- detections ---
     const float* det_box, const float* det_conf, const float* det_feat,
     const uint8_t* det_feat_valid, const float* det_quality,
-    const float* det_own_area, int D, int epoch,
+    const float* det_own_area,
+    // dmat[D, C*K]: det_feat @ feats[cols]^T in COLS-COMPACT layout,
+    // precomputed by the caller with a real GEMM over the active columns
+    // only (the Python wrapper uses the 1-thread-pinned BLAS: 96 GFLOP/s
+    // vs ~29 for the row-dot loop — the all-pairs gallery scoring IS the
+    // interactive visual call at 512-d).  The caller replicates the cols
+    // rule (active && epoch-last_epoch <= max_idle, slot order);
+    // dmat_cols cross-checks the replica and must equal C.  dmat NULL
+    // (dmat_cols < 0) -> in-step dot_f32.
+    const float* dmat, int dmat_cols, int D, int epoch,
     // --- outputs ---
     int32_t* out_slot, int32_t* out_id, uint8_t* out_is_new, float* out_pred,
     int32_t* out_length, int32_t* out_vt, int32_t* out_next_id) {
@@ -252,6 +261,7 @@ int visual_step_host(
   std::vector<uint8_t> dvalid3(static_cast<size_t>(D) * C * K, 0);
   float max_dist = kNeg;
   bool any_valid = false;
+  if (dmat && dmat_cols != C) return 3;  // caller's cols replica diverged
   for (int c = 0; c < C; ++c) {
     const int t = cols[c];
     if (collected[t] < mtl) continue;
@@ -259,10 +269,14 @@ int visual_step_host(
       if (!feat_valid[static_cast<size_t>(t) * K + k]) continue;
       const float* g = feats + (static_cast<size_t>(t) * K + k) * F;
       const float gn = dot_f32(g, g, F);
+      const float* drow = dmat ? dmat + static_cast<size_t>(c) * K + k
+                               : nullptr;
+      const size_t dstride = static_cast<size_t>(C) * K;
       for (int i = 0; i < D; ++i) {
         if (!use_gate[i] || !compat[static_cast<size_t>(i) * C + c]) continue;
         const float* q = det_feat + static_cast<size_t>(i) * F;
-        const float dot = dot_f32(q, g, F);
+        const float dot = drow ? drow[static_cast<size_t>(i) * dstride]
+                               : dot_f32(q, g, F);
         float w;
         bool ok;
         if (!cosine) {
