@@ -275,6 +275,13 @@ def main():
         ps = pkf.update(ps, float(zs[i, 0]), float(zs[i, 1]))
     rows["kalman_point_100k_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
     log(f"kalman point 100k predict/update: {rows['kalman_point_100k_ms']} ms")
+    pkf.filter_sequence(zs[:100])  # warm
+    t0 = time.perf_counter()
+    pkf.filter_sequence(zs)
+    rows["kalman_point_100k_bulk_ms"] = round(
+        (time.perf_counter() - t0) * 1e3, 2)
+    log(f"kalman point 100k bulk filter_sequence: "
+        f"{rows['kalman_point_100k_bulk_ms']} ms")
 
     from similari_tpu.utils.clipping import (
         exclusively_owned_areas_normalized_shares,

@@ -8,7 +8,9 @@ per-call object API, with identical results (tests/test_kalman_api.py).
 
 import numpy as np
 
-from similari_tpu.utils.kalman import Universal2DBoxKalmanFilter
+from similari_tpu.utils.kalman import (
+    Universal2DBoxKalmanFilter, Vec2DKalmanFilter,
+)
 
 if __name__ == "__main__":
     rng = np.random.default_rng(0)
@@ -24,3 +26,10 @@ if __name__ == "__main__":
     resid = np.abs(means[:, :2] - z[:, :2]).mean()
     print(f"filtered {n} observations; mean |residual| = {resid:.3f} px")
     print("last filtered state:", np.round(means[-1], 3).tolist())
+
+    # keypoint-vector flavor: 17 independent 2D chains (a pose skeleton),
+    # all advanced in the same native call
+    kp = np.cumsum(rng.normal(0, 1, (n, 17, 2)), axis=0).astype(np.float32)
+    kmeans = Vec2DKalmanFilter().filter_sequence(kp)
+    kresid = np.abs(kmeans - kp).mean()
+    print(f"filtered {n}x17 keypoints; mean |residual| = {kresid:.3f} px")

@@ -118,6 +118,9 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
     lib.kf_box_sequence.argtypes = [
         F, ctypes.c_int, ctypes.c_float, ctypes.c_float, F]
     lib.kf_box_sequence.restype = ctypes.c_int
+    lib.kf_point_sequence.argtypes = [
+        F, ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float, F]
+    lib.kf_point_sequence.restype = ctypes.c_int
     lib.rotated_iou_pairs.argtypes = [F, F, ctypes.c_int, F]
     lib.rotated_iou_pairs.restype = ctypes.c_int
     lib.nms_host.argtypes = [F, ctypes.c_int, ctypes.c_float, ctypes.c_int, U8]
@@ -374,6 +377,29 @@ def kf_box_sequence(z: np.ndarray, position_weight: float,
         float(velocity_weight), out.ctypes.data_as(F))
     if rc:
         raise RuntimeError(f"kf_box_sequence failed: {rc}")
+    return out
+
+
+def kf_point_sequence(z: np.ndarray, position_weight: float,
+                      velocity_weight: float):
+    """Bulk point-KF smoothing: z[N, 2] (or [N, P, 2] for P independent
+    keypoint chains) -> filtered means of the same shape (initiate from
+    row 0, then predict+update per row — the `benches/kalman_2d_point.rs`
+    loop in one native call).  Returns None when the native library is
+    unavailable (caller falls back to the per-call Python filter)."""
+    lib = _get_lib()
+    if lib is None:
+        return None
+    z = np.ascontiguousarray(z, np.float32)
+    n = z.shape[0]
+    p = 1 if z.ndim == 2 else int(np.prod(z.shape[1:-1], dtype=np.int64))
+    out = np.empty_like(z)
+    F = ctypes.POINTER(ctypes.c_float)
+    rc = lib.kf_point_sequence(
+        z.ctypes.data_as(F), n, p, float(position_weight),
+        float(velocity_weight), out.ctypes.data_as(F))
+    if rc:
+        raise RuntimeError(f"kf_point_sequence failed: {rc}")
     return out
 
 

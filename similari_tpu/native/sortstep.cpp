@@ -84,6 +84,48 @@ int kf_box_sequence(const float* z, int n, float pw, float vw,
   return 0;
 }
 
+// Bulk 2D-point Kalman smoothing over P independent keypoint chains:
+// z[N, P, 2] C-contig -> out[N, P, 2].  P = 1 is Point2DKalmanFilter's
+// `filter_sequence`; the Vec2D flavor passes its whole keypoint vector so
+// all chains advance in one cache-friendly pass.  Same decomposed-block
+// recurrence as kalman_2d_point.rs:25-137 / utils/kalman._NpFilter
+// (kind="point"): stds are k*weight with no height scaling, measurement
+// noise std = position_weight.
+int kf_point_sequence(const float* z, int n, int p, float pw, float vw,
+                      float* out_mean) {
+  if (n <= 0 || p <= 0) return 0;
+  const int m = 2 * p;  // independent scalar components per time step
+  std::vector<float> mp(z, z + m), mv(m, 0.0f);
+  const float sp0 = 2.0f * pw, sv0 = 10.0f * vw;
+  std::vector<float> cpp(m, sp0 * sp0), cpv(m, 0.0f), cvv(m, sv0 * sv0);
+  std::memcpy(out_mean, mp.data(), m * sizeof(float));
+  const float qp = pw * pw, qv = vw * vw, r = pw * pw;
+  for (int i = 1; i < n; ++i) {
+    const float* zi = z + static_cast<size_t>(i) * m;
+    float* oi = out_mean + static_cast<size_t>(i) * m;
+    for (int k = 0; k < m; ++k) {
+      // predict
+      mp[k] += mv[k];
+      cpp[k] = cpp[k] + 2.0f * cpv[k] + cvv[k] + qp;
+      cpv[k] += cvv[k];
+      cvv[k] += qv;
+      // update
+      const float S = cpp[k] + r;
+      const float nu = zi[k] - mp[k];
+      const float gp = cpp[k] / S;
+      const float gv = cpv[k] / S;
+      mp[k] += nu * gp;
+      mv[k] += nu * gv;
+      const float cpp0 = cpp[k], cpv0 = cpv[k];
+      cpp[k] = cpp0 - cpp0 * gp;
+      cpv[k] = cpv0 - cpp0 * gv;
+      cvv[k] = cvv[k] - cpv0 * gv;
+      oi[k] = mp[k];
+    }
+  }
+  return 0;
+}
+
 // clang-format off
 int sort_step_host(
     // --- static config ---

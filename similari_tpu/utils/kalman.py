@@ -200,6 +200,28 @@ class Point2DKalmanFilter:
             return CHI2_UPPER_BOUND if distance > CHI2INV95[1] else distance
         return 0.0 if distance > CHI2INV95[4] else CHI2_UPPER_BOUND - distance
 
+    def filter_sequence(self, points: np.ndarray) -> np.ndarray:
+        """Bulk smoothing of one point track: points[N, 2] -> filtered means
+        [N, 2] (initiate from row 0, then predict+update per row — the
+        `benches/kalman_2d_point.rs:11-24` loop as one call).  Native C when
+        the toolchain is present, NumPy loop otherwise."""
+        from .. import native
+
+        z = np.ascontiguousarray(points, np.float32)
+        if z.shape[0] == 0:
+            return np.zeros((0, 2), np.float32)
+        out = native.kf_point_sequence(z, self._f.pw, self._f.vw)
+        if out is not None:
+            return out
+        n = z.shape[0]
+        out = np.empty((n, 2), np.float32)
+        s = self._f.initiate(z[0])
+        out[0] = s.mean_pos
+        for i in range(1, n):
+            s = self._f.update(self._f.predict(s), z[i])
+            out[i] = s.mean_pos
+        return out
+
 
 class Vec2DKalmanFilter:
     """Maps the point filter over keypoint vectors, `kalman_2d_point_vec.rs:5-77`."""
@@ -228,3 +250,21 @@ class Vec2DKalmanFilter:
     @staticmethod
     def calculate_cost(distances: Sequence[float], inverted: bool) -> List[float]:
         return [Point2DKalmanFilter.calculate_cost(d, inverted) for d in distances]
+
+    def filter_sequence(self, points: np.ndarray) -> np.ndarray:
+        """Bulk smoothing of a keypoint-vector track: points[N, P, 2] (P
+        independent chains advancing together) -> filtered means [N, P, 2].
+        One native call covers all chains; the NumPy fallback maps the
+        per-chain loop."""
+        from .. import native
+
+        z = np.ascontiguousarray(points, np.float32)
+        if z.shape[0] == 0:
+            return np.zeros_like(z)
+        out = native.kf_point_sequence(z, self._f._f.pw, self._f._f.vw)
+        if out is not None:
+            return out
+        return np.stack(
+            [self._f.filter_sequence(z[:, p]) for p in range(z.shape[1])],
+            axis=1,
+        )

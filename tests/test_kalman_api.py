@@ -94,3 +94,47 @@ def test_filter_sequence_matches_per_call_api():
         want.append(np.asarray(st._state.mean_pos, np.float32).copy())
     got = kf.filter_sequence(z)
     np.testing.assert_allclose(got, np.stack(want), rtol=1e-5, atol=1e-5)
+
+
+def test_point_filter_sequence_matches_per_call_api():
+    """Bulk point `filter_sequence` (native kf_point_sequence) must
+    reproduce the per-call initiate/predict/update loop exactly."""
+    import numpy as np
+
+    from similari_tpu.utils.kalman import Point2DKalmanFilter
+
+    rng = np.random.default_rng(10)
+    n = 200
+    z = np.cumsum(rng.normal(size=(n, 2)), axis=0).astype(np.float32)
+
+    kf = Point2DKalmanFilter()
+    st = kf.initiate(float(z[0, 0]), float(z[0, 1]))
+    want = [np.asarray(st._state.mean_pos, np.float32).copy()]
+    for i in range(1, n):
+        st = kf.update(kf.predict(st), float(z[i, 0]), float(z[i, 1]))
+        want.append(np.asarray(st._state.mean_pos, np.float32).copy())
+    got = kf.filter_sequence(z)
+    assert got.shape == (n, 2)
+    np.testing.assert_allclose(got, np.stack(want), rtol=1e-5, atol=1e-5)
+    assert kf.filter_sequence(np.zeros((0, 2), np.float32)).shape == (0, 2)
+
+
+def test_vec2d_filter_sequence_matches_point_chains():
+    """Vec2D bulk smoothing == per-chain point smoothing, chain by chain
+    (the keypoint chains are independent by `kalman_2d_point_vec.rs:5-77`
+    semantics)."""
+    import numpy as np
+
+    from similari_tpu.utils.kalman import (
+        Point2DKalmanFilter, Vec2DKalmanFilter,
+    )
+
+    rng = np.random.default_rng(11)
+    n, p = 60, 7
+    z = np.cumsum(rng.normal(size=(n, p, 2)), axis=0).astype(np.float32)
+    got = Vec2DKalmanFilter().filter_sequence(z)
+    assert got.shape == (n, p, 2)
+    pkf = Point2DKalmanFilter()
+    for c in range(p):
+        np.testing.assert_allclose(
+            got[:, c], pkf.filter_sequence(z[:, c]), rtol=1e-6, atol=1e-6)

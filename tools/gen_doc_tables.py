@@ -264,7 +264,9 @@ def main():
     if "kalman_point_100k_ms" in it:
         lines.append(
             f"| Kalman 2D point 100k (benches/kalman_2d_point.rs) | {unpub} "
-            f"| {it['kalman_point_100k_ms']} ms per-call API | — |")
+            f"| {it['kalman_point_100k_ms']} ms per-call API / "
+            f"{it.get('kalman_point_100k_bulk_ms', '—')} ms bulk "
+            f"filter_sequence | — |")
     if "own_areas_100_ms" in it:
         oa = ", ".join(f"{n}: {it[f'own_areas_{n}_ms']} ms"
                        for n in (10, 25, 50, 100))
