@@ -375,6 +375,25 @@ def main():
         + (f" + `{src}` interactive keys" if driver_inter else "") + ")\n")
     replace_block(ROOT / "ARCHITECTURE.md", "interactive-sort", body)
 
+    # ---- README per-call family ranges (prose fragment) ------------------
+    vr = inter.get("vs_reference", {})
+
+    def fam_range(pat):
+        vals = [v for k, v in vr.items() if re.match(pat, k)]
+        if not vals:
+            return "×?"
+        def one(v):
+            return f"{v:.1f}".rstrip("0").rstrip(".") if v < 10 else f"{v:.0f}"
+        return f"×{one(min(vals))}–×{one(max(vals))}"
+
+    body = (
+        f"SORT {fam_range(r'sort_\d+_x_reference')}, "
+        f"oriented SORT {fam_range(r'sort_oriented_')}, "
+        f"VisualSORT {fam_range(r'visual_')}, "
+        f"BatchSORT {fam_range(r'batch_sort_')}, "
+        f"feature engine {fam_range(r'feature_')}\n")
+    replace_block(ROOT / "README.md", "interactive-ranges", body)
+
     # ---- decision margins (why the adversarial deltas are 0.00) ----------
     mar = sorted(glob.glob(str(ROOT / "MARGINS_r*.json")))
     if mar:
