@@ -699,7 +699,12 @@ def main():
             continue
         samples = []
         flops = None
-        for _ in range(point_reps):
+        for rep in range(point_reps):
+            # re-check between reps: one rep of the largest point is
+            # minutes, so a once-per-point check can overshoot
+            # BENCH_BUDGET by (point_reps - 1) full captures
+            if rep and over_budget(name):
+                break
             r = guarded(name, bench_batch_visual_scan, scenes, 100, 512,
                         base_len)
             if r is None:

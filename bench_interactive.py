@@ -209,16 +209,19 @@ def measure(args):
         # serving posture (freeze after warmup); the query's own garbage is
         # still collected and still billed to the query.
         gc.freeze()
-        times = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            if use_arrays:
-                db.foreign_track_distances_arrays(cand, 0, True)
-            else:
-                d, e = db.foreign_track_distances([cand], 0, True)
-                assert not e
-            times.append(time.perf_counter() - t0)
-        gc.unfreeze()
+        try:
+            times = []
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                if use_arrays:
+                    db.foreign_track_distances_arrays(cand, 0, True)
+                else:
+                    d, e = db.foreign_track_distances([cand], 0, True)
+                    assert not e
+                times.append(time.perf_counter() - t0)
+        finally:  # a raise must not leave the collector frozen for the
+            # remaining rows of the capture
+            gc.unfreeze()
         return statistics.median(times) * 1e3
 
     for vec_len, count in ((128, 1000), (128, 10000), (512, 1000),

@@ -122,15 +122,21 @@ class BatchedSimpleMetric(SimpleMetric):
 
         n = len(to_ids)
         tl = to_ids.tolist()
-        try:  # common case: all attrs are plain floats, one C-loop convert
-            ra = np.asarray(right_attrs, np.float64)
-            any_none = False
-        except (TypeError, ValueError):
-            any_none = True
+        # np.asarray silently coerces None -> nan for float dtypes, so the
+        # None positions must be found explicitly (an exception-based probe
+        # never fires) — and remapped by POSITION, not by x != x, so a
+        # genuine float('nan') attribute stays nan exactly as the per-pair
+        # `_f32_metric` returns it
+        none_mask = [a is None for a in right_attrs]
+        any_none = any(none_mask)
+        if any_none:
             ra = np.array(
-                [np.nan if a is None else float(a) for a in right_attrs],
+                [np.nan if m else float(a)
+                 for a, m in zip(right_attrs, none_mask)],
                 np.float64,
             )
+        else:  # common case: all attrs plain floats, one C-loop convert
+            ra = np.asarray(right_attrs, np.float64)
         out = []
         for i, lo in enumerate(left_obs):
             la = lo.attr()
@@ -141,7 +147,7 @@ class BatchedSimpleMetric(SimpleMetric):
                 continue
             am = np.abs(float(la) - ra).tolist()
             if any_none:
-                am = [None if x != x else x for x in am]
+                am = [None if m else x for x, m in zip(am, none_mask)]
             out.extend(map(ObservationMetricOk, repeat(from_id, n), tl,
                            am, fd))
         return out

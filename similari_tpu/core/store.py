@@ -187,6 +187,12 @@ class TrackStore:
         bulk_ok = batch_kind and (
             type(self.metric).postprocess_distances
             is ObservationMetric.postprocess_distances
+        ) and (
+            # a metric that never overrode batch_records can only return
+            # None — skip the O(tracks) bulk setup instead of paying it per
+            # candidate and then redoing everything per-pair
+            type(self.metric).batch_records
+            is not ObservationMetric.batch_records
         )
         for cand in tracks:
             # one sgemm against the whole store's feature index, sliced per
@@ -197,8 +203,14 @@ class TrackStore:
                 pre_all, spans = self._sweep_candidate(
                     cand, feature_class, batch_kind)
             if bulk_ok and pre_all is not None:
-                recs = self._bulk_records(
-                    cand, feature_class, pre_all, only_baked, errors)
+                try:
+                    recs = self._bulk_records(
+                        cand, feature_class, pre_all, only_baked, errors)
+                except Exception:  # noqa: BLE001 - e.g. a user
+                    # attributes.compatible() that raises; the per-pair loop
+                    # records such errors in the stream instead of crashing
+                    # the query, so fall back to it
+                    recs = None
                 if recs is not None:
                     distances.extend(recs)
                     continue
@@ -277,6 +289,12 @@ class TrackStore:
         if len(index.spans) < len(self.tracks):
             for tid, other in self.tracks.items():
                 if tid == cand.track_id or tid in index.spans:
+                    continue
+                if other.observations.get(feature_class) is not None:
+                    # class present but EMPTY ([]): the per-pair path's
+                    # `right is None` test does not fire, so it yields zero
+                    # records and no error — only a truly absent class maps
+                    # to ObservationForClassNotFound
                     continue
                 ok = cand.attributes.compatible(other.attributes)
                 if ok and only_baked:

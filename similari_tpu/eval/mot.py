@@ -52,15 +52,18 @@ def write_csv(file_path, rows):
 
 
 def ltwh_to_vec5(dets: np.ndarray) -> np.ndarray:
-    """[N, >=4] LTWH -> [N,5] (xc, yc, angle, aspect, height).
+    """[N, >=4] LTWH (col 4, when present, = confidence) -> [N,5]
+    (xc, yc, angle, aspect, height).
 
-    A 6th column, when present, is a per-box rotation angle (the synthetic
-    oriented scenarios); MOT csv rows have none and the angle stays 0.
+    Only an EXACTLY-6-column input is the oriented format
+    (l, t, w, h, conf, angle — what `eval/synthetic.py` emits); wider rows
+    (e.g. raw 10-column MOT det.txt lines) keep angle 0 rather than
+    silently reading class-id/visibility columns as a rotation.
     """
     out = np.zeros((len(dets), 5), np.float32)
     out[:, 0] = dets[:, 0] + dets[:, 2] / 2.0
     out[:, 1] = dets[:, 1] + dets[:, 3] / 2.0
-    if dets.shape[1] >= 6:
+    if dets.shape[1] == 6:
         out[:, 2] = dets[:, 5]
     out[:, 3] = dets[:, 2] / np.maximum(dets[:, 3], 1e-6)
     out[:, 4] = dets[:, 3]

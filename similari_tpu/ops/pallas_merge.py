@@ -73,16 +73,29 @@ def lane_merge_inplace(state, src, row, valid, *, interpret=False):
 
     In-place: the returned array aliases ``state`` (donate it).  dtypes of
     state and src must match; row is int32, valid int32/bool.
+
+    Lane-alignment constraint: every row offset must land on a 128-lane
+    boundary after the int32 bitcast, so F must be a multiple of 128 words
+    — i.e. F % 128 == 0 for f32/int32 states but **F % 256 == 0 for bf16**
+    (pairs pack into int32 words).  A 128-dim bf16 gallery does not
+    qualify; use the shipping one-hot `merge_lane` for it (which is also
+    the faster path everywhere measured — ARCHITECTURE §4c keeps this
+    kernel as the measured-negative experiment record).
     """
     s, r, f = state.shape
     d = src.shape[1]
     assert src.dtype == state.dtype, (src.dtype, state.dtype)
+    words = f // 2 if state.dtype == jnp.bfloat16 else f
+    if words % 128:
+        raise ValueError(
+            f"lane_merge_inplace: feature dim {f} ({state.dtype}) packs to "
+            f"{words} int32 words per row; row offsets must be 128-word "
+            "aligned (f32/int32 need F % 128 == 0, bf16 needs F % 256 == 0)")
     # sub-32-bit dtypes ride as int32 words (bf16 tiling pads a size-1
     # sublane dim to 2, which outlaws the (1, N) flattened-scene view; an
     # int32 bitcast packs the pairs and keeps every offset lane-aligned)
     orig_dtype = state.dtype
     if state.dtype == jnp.bfloat16:
-        assert f % 2 == 0
         state = jax.lax.bitcast_convert_type(
             state.reshape(s, r, f // 2, 2), jnp.int32)
         src = jax.lax.bitcast_convert_type(
@@ -91,7 +104,6 @@ def lane_merge_inplace(state, src, row, valid, *, interpret=False):
     elif state.dtype != jnp.int32:
         state = jax.lax.bitcast_convert_type(state, jnp.int32)
         src = jax.lax.bitcast_convert_type(src, jnp.int32)
-    assert f % 128 == 0, f"feature dim {f} must be lane-aligned (128)"
     # Scenes flattened to ONE long row each ([S, 1, R*F]): Mosaic refuses
     # 1-row dynamic slices of a tiled [R, F] memref, but last-dim windows
     # at 128-aligned offsets are legal in any memory space.  SMEM blocks

@@ -351,6 +351,108 @@ def test_batched_feature_sweep_matches_per_pair_metric():
             p.feature_distance, b.feature_distance, rtol=1e-5, atol=1e-6)
 
 
+def test_bulk_record_stream_parity_none_attrs_and_empty_class():
+    """Round-5 review findings: the bulk `batch_records` path must match the
+    per-pair stream when observation attributes are None (np.asarray
+    silently coerces None -> nan, so the None positions must be detected
+    explicitly) and when a track's observation list for the class exists
+    but is EMPTY (the per-pair path emits neither records nor
+    ObservationForClassNotFound for it)."""
+    from similari_tpu.core.examples import BatchedSimpleMetric
+
+    def build(metric):
+        store = (
+            TrackStoreBuilder(2)
+            .default_attributes(SimpleAttrs())
+            .metric(metric)
+            .notifier(NoopNotifier())
+            .build()
+        )
+        rng = np.random.default_rng(21)
+        for tid in range(1, 6):
+            for k in range(2):
+                # tracks 2 and 4 carry None observation attrs
+                attr = None if tid % 2 == 0 else float(tid) * 0.1
+                store.add(tid, 0, attr,
+                          rng.normal(size=16).astype(np.float32),
+                          SimpleAttributeUpdate() if k == 0 else None)
+        # track 6: class 0 present but EMPTY (direct mutation, the
+        # reference allows it via optimize()-style pruning)
+        b6 = store.new_track(6).observation(
+            ObservationBuilder(0)
+            .observation_attributes(0.6)
+            .observation(rng.normal(size=16).astype(np.float32))
+            .track_attributes_update(SimpleAttributeUpdate())
+            .build())
+        t6 = b6.build()
+        t6.observations[0] = []
+        store.add_track(t6)
+        cand = (
+            store.new_track(99)
+            .observation(
+                ObservationBuilder(0)
+                .observation_attributes(0.25)
+                .observation(rng.normal(size=16).astype(np.float32))
+                .track_attributes_update(SimpleAttributeUpdate())
+                .build()
+            )
+            .build()
+        )
+        return store.foreign_track_distances([cand], 0, False)
+
+    plain, plain_errs = build(SimpleMetric())
+    bulk, bulk_errs = build(BatchedSimpleMetric())
+    assert len(plain) == len(bulk) == 10  # 5 tracks x 2 obs; track 6 silent
+    assert len(plain_errs) == len(bulk_errs) == 0
+    for p, b in zip(plain, bulk):
+        assert (p.from_id, p.to_id) == (b.from_id, b.to_id)
+        # None attrs must stay None (not nan) through the bulk build
+        assert (p.attribute_metric is None) == (b.attribute_metric is None)
+        if p.attribute_metric is not None:
+            assert p.attribute_metric == pytest.approx(b.attribute_metric)
+        np.testing.assert_allclose(
+            p.feature_distance, b.feature_distance, rtol=1e-5, atol=1e-6)
+    none_count = sum(1 for r in bulk if r.attribute_metric is None)
+    assert none_count == 4  # tracks 2 and 4, two observations each
+
+
+def test_bulk_record_stream_falls_back_when_compatible_raises():
+    """A user `attributes.compatible()` that raises must not crash the bulk
+    query: the store falls back to the per-pair loop, which records the
+    exception in the error stream (round-5 review finding)."""
+    from similari_tpu.core.examples import BatchedSimpleMetric
+
+    class ExplodingAttrs(SimpleAttrs):
+        def compatible(self, other) -> bool:
+            raise RuntimeError("boom")
+
+    store = (
+        TrackStoreBuilder(2)
+        .default_attributes(SimpleAttrs())
+        .metric(BatchedSimpleMetric())
+        .notifier(NoopNotifier())
+        .build()
+    )
+    rng = np.random.default_rng(22)
+    for tid in (1, 2):
+        store.add(tid, 0, 0.5, rng.normal(size=8).astype(np.float32),
+                  SimpleAttributeUpdate())
+    cand = (
+        store.new_track(99)
+        .observation(
+            ObservationBuilder(0)
+            .observation_attributes(0.5)
+            .observation(rng.normal(size=8).astype(np.float32))
+            .build()
+        )
+        .build()
+    )
+    cand.attributes = ExplodingAttrs()
+    dists, errs = store.foreign_track_distances([cand], 0, False)
+    assert dists == []
+    assert len(errs) == 2 and all("boom" in str(e) for e in errs)
+
+
 def test_store_arrays_query_matches_record_api():
     """Round-4 VERDICT item 7: the one-sgemm arrays query must agree with
     the record API (same pairs, same distances), including only_baked and
