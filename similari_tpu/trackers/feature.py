@@ -12,9 +12,13 @@ semantics — the SoA/batched re-design applied to the generic engine, exactly
 as `sort_step` is to the SORT pipeline:
 
 * the track store is a flat ``[T, G, F]`` gallery ring plus counters;
-* the candidates x tracks x gallery distance matrix is ONE sgemm
-  (``d^2 = |x|^2 + |y|^2 - 2 x.y``) instead of the reference's per-pair
-  SIMD loop fanned over shard threads;
+* candidate x gallery-lane scoring is norm-windowed (round 5): only lanes
+  with ``| |q| - |g| | <= max_distance`` can score, so clustered workloads
+  evaluate a few exact pairwise-difference distances per candidate instead
+  of the reference's full per-pair SIMD loop fanned over shard threads;
+  overlapping-norm workloads and small frames fall back to ONE sgemm
+  (``d^2 = |x|^2 + |y|^2 - 2 x.y``, centered when norms are large enough
+  for the expansion's f32 cancellation to approach the gate);
 * TopN voting is vectorized: votes = count of in-threshold gallery lanes,
   weight = sum(max_distance - d) over them (`topn.rs:92-109`), winner =
   arg-max weight among tracks with >= min_votes;
@@ -75,6 +79,9 @@ class FeatureTracker:
         # engine has no lifecycle: NoopAttributes.baked is always Ready), so
         # `_used` is a watermark and every matrix op slices to live rows
         self._used = 0
+        # largest |feature|^2 ever stored: decides whether the dense gram
+        # expansion needs centering (cancellation ~ulps of this)
+        self._max_norm = 0.0
 
     # ------------------------------------------------------------------ api
     @property
@@ -133,35 +140,95 @@ class FeatureTracker:
         g = self.gallery
         u = self._used
         qn = np.einsum("df,df->d", feats, feats)
+        self._max_norm = max(self._max_norm, float(qn.max()))
 
         if u == 0:
             matched = np.zeros((d,), bool)
             tgt = np.zeros((d,), np.int64)
         elif self.metric == "euclidean" and self.min_votes <= 1:
-            # --- fused fast path (the bench configuration) ---------------
-            # One sgemm, then IN-PLACE passes on the [D, lanes] buffer:
-            # d2 -> dist -> clamped weight (max_dist - min(dist, max_dist)).
-            # Dead lanes carry +inf norms so they contribute exactly 0
-            # weight with no mask pass; with min_votes == 1, "has a vote"
-            # collapses to "summed weight > 0" (they differ only when a
-            # lane sits at EXACTLY max_distance — measure-zero for
-            # continuous features; reference ids are nondeterministic at
-            # ties anyway).  g strided adds replace the reshape reduce
-            # (axis-2 reduce over int/bool measured 4.9 ms at this shape).
+            # --- norm-windowed exact pair path (the bench configuration) --
+            # dist >= | |q| - |g| |, so only gallery lanes whose norm falls
+            # inside [|q| - maxd, |q| + maxd] can score a nonzero clamped
+            # weight (the spatial-hash idea, in norm space).  On clustered
+            # workloads (the reference bench: tracks ~1000 units apart at
+            # maxd 100) that is a few lanes per candidate, and the
+            # surviving pairs run the reference's own pairwise-difference
+            # distance — which is also the FIX for a real accuracy bug: the
+            # round-4 all-lanes gram expansion (qn + |g|^2 - 2 q.g) cancels
+            # catastrophically in f32 at large feature norms (error floor
+            # ~ sqrt(eps)*|q|: 100+ units at |q| ~ 4e5, so one static
+            # object fragmented into several tracks — large-norm regression
+            # test in test_feature_tracker).  Dead lanes carry +inf norms
+            # -> sorted last, never inside a window.  Boundary caveat: the
+            # window bounds use the stored f32 norms, so a pair sitting
+            # within ~|q|*1e-7 of EXACTLY max_distance may land on the
+            # other side of the gate vs the dense path — same measure-zero
+            # class as the dense path's own dead-lane note.
             lanes = u * g
-            gal = self._feats[:lanes]
-            buf = feats @ gal.T  # [D, used*G] BLAS
-            np.multiply(buf, np.float32(-2.0), out=buf)
-            buf += qn[:, None]
-            buf += self._norms[None, :lanes]
-            np.maximum(buf, np.float32(0.0), out=buf)
-            np.sqrt(buf, out=buf)
-            np.minimum(buf, self.max_distance, out=buf)
-            np.subtract(self.max_distance, buf, out=buf)
-            w3 = buf.reshape(d, u, g)
-            weight = w3[:, :, 0].copy()
-            for j in range(1, g):
-                weight += w3[:, :, j]
+            maxd = self.max_distance
+
+            def dense_centered():
+                # one sgemm + the round-4 in-place passes.  The gram
+                # expansion's cancellation error is ~ulps of the largest
+                # norm, so when every norm is small relative to the gate it
+                # runs as-is on the stored norms (dead lanes +inf already);
+                # otherwise the data is CENTERED on the candidate mean so
+                # the cancellation scales with the spread, not the absolute
+                # norm (dead lanes re-masked: their stored rows are stale,
+                # so the recomputed centered norm would be finite).
+                big = max(float(qn.max()), self._max_norm)
+                if big * 1e-6 < (0.1 * float(maxd)) ** 2:
+                    fc, galc = feats, self._feats[:lanes]
+                    qnc, nc = qn, self._norms[:lanes]
+                else:
+                    c = feats.mean(axis=0)
+                    fc = feats - c
+                    galc = self._feats[:lanes] - c
+                    qnc = np.einsum("df,df->d", fc, fc)
+                    nc = np.einsum("lf,lf->l", galc, galc)
+                    nc[~self._live[:lanes]] = np.float32(np.inf)
+                buf = fc @ galc.T  # [D, used*G] BLAS
+                np.multiply(buf, np.float32(-2.0), out=buf)
+                buf += qnc[:, None]
+                buf += nc[None, :]
+                np.maximum(buf, np.float32(0.0), out=buf)
+                np.sqrt(buf, out=buf)
+                np.minimum(buf, maxd, out=buf)
+                np.subtract(maxd, buf, out=buf)
+                w3 = buf.reshape(d, u, g)
+                weight = w3[:, :, 0].copy()
+                for j in range(1, g):
+                    weight += w3[:, :, j]
+                return weight
+
+            weight = None
+            if d * lanes > 4096:  # window machinery beats the sgemm only
+                # once the dense matrix is real work (measured crossover
+                # ~50 tracks at 256-d)
+                sq = np.sqrt(qn)
+                sn = np.sqrt(self._norms[:lanes])
+                order = np.argsort(sn, kind="stable")
+                sns = sn[order]
+                lo = np.searchsorted(sns, sq - maxd, "left")
+                hi = np.searchsorted(sns, sq + maxd, "right")
+                cnt = hi - lo
+                p_total = int(cnt.sum())
+                if p_total <= max(4096, (d * lanes) // 8):
+                    weight = np.zeros((d, u), np.float32)
+                    if p_total:
+                        rows = np.repeat(np.arange(d), cnt)
+                        stops = np.cumsum(cnt)
+                        pos = (np.arange(p_total) - np.repeat(
+                            stops - cnt, cnt) + np.repeat(lo, cnt))
+                        lane = order[pos]
+                        diff = feats[rows] - self._feats[lane]
+                        w = np.einsum("pf,pf->p", diff, diff)
+                        np.sqrt(w, out=w)
+                        np.minimum(w, maxd, out=w)
+                        np.subtract(maxd, w, out=w)
+                        np.add.at(weight, (rows, lane // g), w)
+            if weight is None:  # small frame or overlapping norms
+                weight = dense_centered()
             tgt = np.argmax(weight, axis=1)
             matched = weight[np.arange(d), tgt] > 0.0
         else:
@@ -169,12 +236,24 @@ class FeatureTracker:
             # (`track.rs:616-643` cartesian loop -> [D, used*G] batch)
             lanes = u * g
             gal = self._feats[:lanes]
-            dot = feats @ gal.T  # [D, used*G] BLAS
             if self.metric == "euclidean":
-                d2 = np.maximum(
-                    qn[:, None] + self._norms[None, :lanes] - 2.0 * dot, 0.0)
+                # same norm-gated centering as the fast path's dense route
+                # (the uncentered gram cancels at large norms)
+                if (max(float(qn.max()), self._max_norm) * 1e-6
+                        < (0.1 * float(self.max_distance)) ** 2):
+                    fc, galc = feats, gal
+                    qnc, nc = qn, self._norms[:lanes]
+                else:
+                    c = feats.mean(axis=0)
+                    fc = feats - c
+                    galc = gal - c
+                    qnc = np.einsum("df,df->d", fc, fc)
+                    nc = np.einsum("lf,lf->l", galc, galc)
+                dot = fc @ galc.T  # [D, used*G] BLAS
+                d2 = np.maximum(qnc[:, None] + nc[None, :] - 2.0 * dot, 0.0)
                 dist = np.sqrt(d2, dtype=np.float32)
             else:
+                dot = feats @ gal.T  # [D, used*G] BLAS
                 denom = np.sqrt(qn[:, None] * self._norms[None, :lanes])
                 dist = np.float32(1.0) - dot / np.where(denom > 0, denom, 1.0)
             ok = self._live[None, :lanes] & (dist <= self.max_distance)

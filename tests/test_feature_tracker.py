@@ -124,6 +124,43 @@ def test_feature_tracker_multi_merge_per_track():
     np.testing.assert_allclose(g2[0], two[0])  # oldest surviving
 
 
+@pytest.mark.parametrize("mag", [3e5, 4e5, 5e5])
+def test_feature_tracker_large_norm_identity(mag):
+    """Round-5 regression: the all-lanes gram expansion cancels in f32 at
+    large feature norms (error floor ~ sqrt(eps)*|q| — 100+ units at
+    |q| ~ 4e5), which fragmented a single drifting object into several
+    tracks.  The norm-windowed pair path computes the surviving pairs with
+    the reference's own pairwise difference; one object must stay one
+    track at any magnitude."""
+    tracker = FeatureTracker(256, gallery=3, max_distance=100.0, min_votes=1)
+    rng = np.random.default_rng(0)
+    f = np.zeros((1, 256), np.float32)
+    f[0, 0] = mag
+    ids = set()
+    for _ in range(10):
+        drifted = (f + rng.uniform(-0.1, 0.1, f.shape)).astype(np.float32)
+        ids.add(int(tracker.predict(drifted)[0]))
+    assert len(tracker) == 1 and ids == {1}
+
+
+def test_feature_tracker_large_norm_identity_dense_route():
+    """Same regression through the dense route (d*lanes under the window
+    gate goes straight to the centered sgemm): candidates at a huge common
+    offset must still match their own tracks."""
+    n, f = 36, 32
+    tracker = FeatureTracker(f, gallery=3, max_distance=100.0, min_votes=1)
+    rng = np.random.default_rng(1)
+    base = np.zeros((n, f), np.float32)
+    base[:, 0] = 4e5  # identical norms -> windows all overlap
+    base[:, 1] = 500.0 * np.arange(n)  # distinct along a second axis
+    first = tracker.predict(base)
+    for _ in range(4):
+        drifted = (base + rng.uniform(-0.1, 0.1, base.shape)
+                   ).astype(np.float32)
+        np.testing.assert_array_equal(tracker.predict(drifted), first)
+    assert len(tracker) == n
+
+
 def test_feature_tracker_growth_and_cosine():
     f = 16
     tracker = FeatureTracker(f, metric="cosine", max_distance=0.2,
